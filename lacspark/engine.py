@@ -1,0 +1,181 @@
+"""The lexical-analysis engine: seg / lac / rank over batches.
+
+This module IS both the driver-side oracle and the code every Spark
+python worker runs per Arrow batch (broadcast once, reused across
+tasks — ≙ the reference's per-thread predictor clone sharing weights,
+c++/src/lac.cpp:64-79).  Pipeline per batch, transcribing the
+reference's run path (models.py:71-175, 238-246, 305-374):
+
+  empty-row pop → [lac/rank: DAG segment → mixed-granularity encode |
+  seg: char encode] → batched GRU-CRF decode → label strings →
+  word-granularity tag re-expansion → customization intervention →
+  B/I merge → [rank: rank head → weight expansion → per-word max] →
+  empty-row reinsertion.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import RESOURCE_DIR
+from .customization import Customization
+from .encoding import Encoder, load_kv
+from .net import BiGruCrf
+from .segmenter import DagSegmenter
+from .tagscheme import (LAC_LABELS, MENTION_TAGS, PREDICATE_TAGS, SEG_LABELS,
+                        start_mask, transition_mask)
+
+
+@dataclass
+class Analysis:
+    """Per-row result; words joined == input text (the sha invariant,
+    models.py:163-173 — merge only concatenates input chars)."""
+    words: list[str]
+    tags: list[str]
+    char_tags: list[str]
+    ranks: list[int] = field(default_factory=list)
+
+
+class LacEngine:
+    """seg/lac/rank analysis over ragged batches, numpy-vectorized."""
+
+    def __init__(self, resource_dir: str | os.PathLike | None = None,
+                 custom_dict_path: str | None = None,
+                 use_automaton: bool = False):
+        rd = str(resource_dir or RESOURCE_DIR)
+        self.encoder = Encoder.from_files(
+            os.path.join(rd, "word.dic"), os.path.join(rd, "q2b.dic"))
+        self.id2label = load_kv(os.path.join(rd, "tag.dic"), key_func=int)
+        self.id2seglabel = load_kv(os.path.join(rd, "seg_tag.dic"), key_func=int)
+        freq = load_kv(os.path.join(rd, "small_seg.dic"),
+                       delimiter=" ", value_func=int)
+        self.segmenter = DagSegmenter(freq)
+        self.lac_net = BiGruCrf.load(
+            os.path.join(rd, "lac_weights.npz"),
+            transition_mask(LAC_LABELS), start_mask(LAC_LABELS))
+        self.seg_net = BiGruCrf.load(
+            os.path.join(rd, "seg_weights.npz"),
+            transition_mask(SEG_LABELS), start_mask(SEG_LABELS))
+        self.custom: Customization | None = None
+        if custom_dict_path:
+            self.custom = Customization(use_automaton)
+            self.custom.load(custom_dict_path)
+
+    # ------------------------------------------------------------------
+    def add_word(self, line: str, sep: str | None = None) -> None:
+        """Runtime custom-dict update (lac.py:104-112 add_word)."""
+        if self.custom is None:
+            self.custom = Customization()
+        self.custom.add_entry(line, sep)
+        self.custom.matcher.finalize()
+
+    # ------------------------------------------------------------------
+    def run_batch(self, texts: list[str], mode: str = "lac") -> list[Analysis]:
+        if mode not in ("seg", "lac", "rank"):
+            raise ValueError(f"unknown mode {mode!r}")
+        live = [(i, t) for i, t in enumerate(texts) if len(t) > 0]
+        out: list[Analysis] = [Analysis([], [], [], []) for _ in texts]
+        if not live:
+            return out
+
+        if mode == "seg":
+            ids = [np.asarray(self.encoder.encode_chars(t), dtype=np.int64)
+                   for _, t in live]
+            seg_lengths: list[list[int]] = [[] for _ in live]
+            label_ids = self.seg_net.decode(ids)
+            id2label = self.id2seglabel
+        else:
+            ids, seg_lengths = [], []
+            for _, t in live:
+                i, l = self.encoder.encode_mixed(self.segmenter.cut(t))
+                ids.append(np.asarray(i, dtype=np.int64))
+                seg_lengths.append(l)
+            label_ids = self.lac_net.decode(ids)
+            id2label = self.id2label
+
+        ranks = (self.lac_net.rank(ids, label_ids)
+                 if mode == "rank" else [None] * len(live))
+
+        for k, (row, text) in enumerate(live):
+            tags = [id2label[int(x)] for x in label_ids[k]]
+            lengths = seg_lengths[k]
+            # re-expand word-granularity segments to char tags
+            # (models.py:154-158: walk segments backward, insert -I)
+            for cur in range(len(lengths) - 1, -1, -1):
+                for off in range(1, lengths[cur]):
+                    tags.insert(cur + off, tags[cur][:-2] + "-I")
+            if self.custom is not None:
+                self.custom.apply(text, tags)
+            words, word_tags = _merge(text, tags)
+            res = Analysis(words, word_tags, tags)
+            if mode == "rank":
+                weights = [int(x) for x in ranks[k]]
+                for cur in range(len(lengths) - 1, -1, -1):
+                    for off in range(1, lengths[cur]):
+                        weights.insert(cur + off, weights[cur])
+                res.ranks = _rank_merge(tags, weights)
+            out[row] = res
+        return out
+
+    # ------------------------------------------------------------------
+    # KG extension (SURVEY.md §2.2 K3/K4): arrays already in hand, so
+    # mention + triple extraction run in the same batch pass.
+    def extract(self, analysis: Analysis, window: int = 8):
+        """Return (mentions, triples) for one analyzed row.
+
+        mentions: (word, tag, rank, word_idx, char_begin)
+        triples:  (subj, pred, obj, conf) — consecutive mention pairs
+        ≤ ``window`` words apart linked by the highest-rank predicate
+        word (tag ∈ v/vd/vn/p) strictly between them.
+        """
+        words, tags = analysis.words, analysis.tags
+        ranks = analysis.ranks or [0] * len(words)
+        begins, pos = [], 0
+        for w in words:
+            begins.append(pos)
+            pos += len(w)
+        m_idx = [i for i, t in enumerate(tags) if t in MENTION_TAGS]
+        mentions = [(words[i], tags[i], int(ranks[i]), i, begins[i])
+                    for i in m_idx]
+        triples = []
+        for a, b in zip(m_idx, m_idx[1:]):
+            if b - a > window:
+                continue
+            preds = [(int(ranks[j]), -j, j) for j in range(a + 1, b)
+                     if tags[j] in PREDICATE_TAGS]
+            if not preds:
+                continue
+            _, _, j = max(preds)
+            conf = (1.0 + int(ranks[j])) / 4.0
+            triples.append((words[a], words[j], words[b], conf))
+        return mentions, triples
+
+
+def _merge(text: str, char_tags: list[str]) -> tuple[list[str], list[str]]:
+    """B/I merge: new word at B/S, else append char; the word's tag is
+    its last char's tag base (models.py:163-173)."""
+    words: list[str] = []
+    tags: list[str] = []
+    for i, tag in enumerate(char_tags):
+        if not words or tag.endswith("B") or tag.endswith("S"):
+            words.append(text[i])
+            tags.append(tag[:-2])
+        else:
+            words[-1] += text[i]
+            tags[-1] = tag[:-2]
+    return words, tags
+
+
+def _rank_merge(char_tags: list[str], weights: list[int]) -> list[int]:
+    """Per-word weight = max over its chars, boundaries at B/S
+    (models.py:366-371)."""
+    out: list[int] = []
+    for i, tag in enumerate(char_tags):
+        if not out or tag.endswith("B") or tag.endswith("S"):
+            out.append(weights[i])
+        else:
+            out[-1] = max(out[-1], weights[i])
+    return out

@@ -1,0 +1,223 @@
+"""Batched numpy Bi-GRU-CRF forward + constrained Viterbi decode.
+
+Re-implements the inference network of the reference (stacked Bi-GRU →
+FC emission → linear-chain-CRF Viterbi; /root/reference/python/LAC/
+nets.py:34-150, invoked through the Paddle predictor at
+models.py:97) as pure numpy over padded batches.  The reference packs
+a ragged batch into one flat LoD tensor (models.py:110-138); here the
+ragged batch arrives as an Arrow list-array / list of int arrays and
+is padded per batch — same amortization, BLAS-vectorized.
+
+The rank head mirrors the reference's second predictor, which consumes
+the word tensor plus the lac model's decoded tags
+(models.py:305-345, call at :336).
+
+Weights are deterministic seeded-random arrays of the report.pdf §4.2
+shapes scaled down (emb 32, hidden 32, 2 stacked Bi-GRU) — see
+gen_fixtures.py.  The same .npz loads in the driver-side oracle and in
+every Spark python worker (broadcast), so oracle/engine parity is by
+construction and tests exercise the distributed plumbing.
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+
+from .tagscheme import NEG
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+class BiGruCrf:
+    """Stacked Bi-GRU + FC emission + CRF Viterbi, padded-batch numpy.
+
+    Weight dict layout (all float32):
+      emb                [V, E]
+      l{i}_{fw|bw}_wx    [in_i, 3H]   gate order: z | r | c
+      l{i}_{fw|bw}_wh    [H, 3H]
+      l{i}_{fw|bw}_b     [3H]
+      fc_w               [2H, L], fc_b [L]
+      crf_trans          [L, L], crf_start [L], crf_stop [L]
+    Optional rank head (consumes decoded label ids as features):
+      tag_emb            [L, Et]
+      r0_{fw|bw}_wx/wh/b (single Bi-GRU layer over [E+Et])
+      rank_fc_w          [2Hr, 4], rank_fc_b [4]
+    """
+
+    def __init__(self, weights: dict[str, np.ndarray],
+                 trans_mask: np.ndarray, start_vec_mask: np.ndarray):
+        self.w = {k: np.asarray(v, dtype=np.float32) for k, v in weights.items()}
+        self.n_layers = max(int(k[1]) for k in self.w if k.startswith("l")) + 1
+        self.n_labels = self.w["fc_b"].shape[0]
+        self.trans_masked = self.w["crf_trans"] + trans_mask
+        self.start_masked = self.w["crf_start"] + start_vec_mask
+        self.has_rank = "rank_fc_w" in self.w
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def load(cls, path_or_bytes, trans_mask, start_vec_mask) -> "BiGruCrf":
+        if isinstance(path_or_bytes, (bytes, bytearray)):
+            npz = np.load(io.BytesIO(bytes(path_or_bytes)))
+        else:
+            npz = np.load(path_or_bytes)
+        return cls({k: npz[k] for k in npz.files}, trans_mask, start_vec_mask)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _pad(seqs: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+        """Pad int sequences to [B, T]; returns (padded, lengths)."""
+        lens = np.array([len(s) for s in seqs], dtype=np.int64)
+        t = max(1, int(lens.max()))
+        out = np.zeros((len(seqs), t), dtype=np.int64)
+        for i, s in enumerate(seqs):
+            out[i, : len(s)] = s
+        return out, lens
+
+    def _gru_dir(self, x: np.ndarray, lens: np.ndarray, prefix: str,
+                 reverse: bool) -> np.ndarray:
+        """One GRU direction over padded [B, T, D] → [B, T, H].
+
+        For the backward direction each row is reversed within its own
+        length so the recurrence starts at the true sequence end.
+        """
+        b, t, _ = x.shape
+        if reverse:
+            x = _reverse_within_length(x, lens)
+        wx, wh, bias = self.w[prefix + "_wx"], self.w[prefix + "_wh"], self.w[prefix + "_b"]
+        h_dim = wh.shape[0]
+        pre = x @ wx + bias  # [B, T, 3H] — one big GEMM for all steps
+        h = np.zeros((b, h_dim), dtype=np.float32)
+        outs = np.empty((b, t, h_dim), dtype=np.float32)
+        step_mask = (np.arange(t)[None, :] < lens[:, None]).astype(np.float32)
+        for i in range(t):
+            rec = h @ wh  # [B, 3H]
+            z = _sigmoid(pre[:, i, :h_dim] + rec[:, :h_dim])
+            r = _sigmoid(pre[:, i, h_dim:2 * h_dim] + rec[:, h_dim:2 * h_dim])
+            c = np.tanh(pre[:, i, 2 * h_dim:] + (r * h) @ wh[:, 2 * h_dim:])
+            h_new = (1.0 - z) * h + z * c
+            m = step_mask[:, i:i + 1]
+            h = m * h_new + (1.0 - m) * h
+            outs[:, i, :] = h
+        if reverse:
+            outs = _reverse_within_length(outs, lens)
+        return outs
+
+    def _emissions(self, padded: np.ndarray, lens: np.ndarray,
+                   extra: np.ndarray | None = None) -> np.ndarray:
+        """[B, T] ids (+ optional extra feature block) → [B, T, L]."""
+        x = self.w["emb"][padded]  # sparse lookup ≙ nets.py IS_SPARSE embedding
+        if extra is not None:
+            x = np.concatenate([x, extra], axis=-1)
+            layers = [("r0", "rank_fc")]
+        else:
+            layers = [(f"l{i}", None) for i in range(self.n_layers)]
+            layers[-1] = (layers[-1][0], "fc")
+        out = None
+        for name, fc in layers:
+            fw = self._gru_dir(x, lens, f"{name}_fw", reverse=False)
+            bw = self._gru_dir(x, lens, f"{name}_bw", reverse=True)
+            x = np.concatenate([fw, bw], axis=-1)
+            if fc:
+                out = x @ self.w[f"{fc}_w"] + self.w[f"{fc}_b"]
+        return out
+
+    def _viterbi(self, emis: np.ndarray, lens: np.ndarray) -> list[np.ndarray]:
+        """Constrained Viterbi over [B, T, L] → per-row label ids.
+
+        The IOB2 transition/start masks make illegal paths -inf,
+        matching the reference's constrained crf_decoding
+        (nets.py:140-148, report.pdf §3.2).  Scores are laid out
+        [B, cur, prev] so the argmax runs over the contiguous axis.
+        """
+        b, t, n = emis.shape
+        trans_t = np.ascontiguousarray(self.trans_masked.T)  # [cur, prev]
+        delta = emis[:, 0, :] + self.start_masked[None, :]
+        back = np.empty((b, t, n), dtype=np.uint8)  # L ≤ 255
+        for i in range(1, t):
+            # scores[b, cur, prev] = delta[b, prev] + trans[prev, cur]
+            scores = delta[:, None, :] + trans_t[None, :, :]
+            am = np.argmax(scores, axis=2)
+            back[:, i, :] = am
+            best = np.take_along_axis(scores, am[:, :, None], axis=2)[:, :, 0]
+            best += emis[:, i, :]
+            active = (i < lens)[:, None]
+            delta = np.where(active, best, delta)
+        final = delta + self.w["crf_stop"][None, :]
+        last = np.argmax(final, axis=1)
+        out = []
+        for r in range(b):
+            ln = int(lens[r])
+            path = np.empty(ln, dtype=np.int64)
+            cur = int(last[r])
+            path[ln - 1] = cur
+            for i in range(ln - 1, 0, -1):
+                cur = int(back[r, i, cur])
+                path[i - 1] = cur
+            out.append(path)
+        return out
+
+    # ------------------------------------------------------------------
+    # Ragged batches are length-bucketed: rows sorted by length and
+    # split into chunks of ~CHUNK_TOKENS padded tokens, so short rows
+    # never pay the longest row's padding and the per-step working set
+    # stays cache-resident.  ≙ the reference's LoD batching
+    # (models.py:126-137) with the padding waste optimized away.
+    CHUNK_TOKENS = 96_000
+
+    def _chunks(self, order: np.ndarray, lengths: np.ndarray):
+        start = 0
+        while start < len(order):
+            t = max(1, int(lengths[order[start]]))
+            rows = max(1, min(len(order) - start, self.CHUNK_TOKENS // t))
+            yield order[start:start + rows]
+            start += rows
+
+    def decode(self, seqs: list[np.ndarray]) -> list[np.ndarray]:
+        """Batch of id sequences → batch of label-id sequences."""
+        return self._run_bucketed(seqs, None)
+
+    def rank(self, seqs: list[np.ndarray], labels: list[np.ndarray]) -> list[np.ndarray]:
+        """Rank head: (ids, decoded label ids) → importance 0-3 per
+        token; ≙ the reference's second predictor consuming the lac
+        model's crf_decode output (models.py:336)."""
+        return self._run_bucketed(seqs, labels)
+
+    def _run_bucketed(self, seqs: list[np.ndarray],
+                      labels: list[np.ndarray] | None) -> list[np.ndarray]:
+        out: list[np.ndarray] = [np.empty(0, dtype=np.int64)] * len(seqs)
+        if not seqs:
+            return out
+        lengths = np.array([len(s) for s in seqs], dtype=np.int64)
+        nonempty = np.flatnonzero(lengths)
+        if nonempty.size == 0:
+            return out
+        order = nonempty[np.argsort(-lengths[nonempty], kind="stable")]
+        for rows in self._chunks(order, lengths):
+            padded, lens = self._pad(
+                [np.asarray(seqs[i], dtype=np.int64) for i in rows])
+            if labels is None:
+                emis = self._emissions(padded, lens)
+                for i, p in zip(rows, self._viterbi(emis, lens)):
+                    out[i] = p
+            else:
+                lab_padded, _ = self._pad(
+                    [np.asarray(labels[i], dtype=np.int64) for i in rows])
+                feat = self.w["tag_emb"][lab_padded]
+                logits = self._emissions(padded, lens, extra=feat)
+                pick = np.argmax(logits, axis=2)
+                for j, i in enumerate(rows):
+                    out[i] = pick[j, : int(lens[j])].astype(np.int64)
+        return out
+
+
+def _reverse_within_length(x: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Reverse each row of [B, T, D] within its own length."""
+    b, t, _ = x.shape
+    idx = np.arange(t)[None, :]
+    rev = lens[:, None] - 1 - idx
+    rev = np.where(idx < lens[:, None], rev, idx)
+    return x[np.arange(b)[:, None], rev]

@@ -137,7 +137,8 @@ class LacEngine:
         for w in words:
             begins.append(pos)
             pos += len(w)
-        m_idx = [i for i, t in enumerate(tags) if t in MENTION_TAGS]
+        m_idx = [i for i, t in enumerate(tags)
+                 if t in MENTION_TAGS and words[i].strip()]
         mentions = [(words[i], tags[i], int(ranks[i]), i, begins[i])
                     for i in m_idx]
         triples = []
@@ -145,7 +146,7 @@ class LacEngine:
             if b - a > window:
                 continue
             preds = [(int(ranks[j]), -j, j) for j in range(a + 1, b)
-                     if tags[j] in PREDICATE_TAGS]
+                     if tags[j] in PREDICATE_TAGS and words[j].strip()]
             if not preds:
                 continue
             _, _, j = max(preds)

@@ -1,0 +1,125 @@
+"""K6/K7: alias canonicalization — deterministic minhash/LSH +
+connected components, all JVM-side (no python in the hot path).
+
+Minhash signatures are computed **without any shuffle**: char-3-gram
+arrays per surface form, k hash functions as
+``xxhash64(seed_i, gram)`` reduced with ``array_min`` inside a
+projection.  Banding turns similarity search into an equi-join on
+band keys; candidate pairs are verified with exact n-gram Jaccard
+(array_intersect/array_union on the carried gram arrays).  Everything
+is seeded/deterministic — no rand(), no iteration-order dependence
+(SURVEY §4.2 custom work (d)).
+
+Connected components: iterative min-label propagation over the
+similarity edges (small-step joins + localCheckpoint, GraphFrames not
+assumed).  Canonical id of a component = lexicographic min surface
+form — deterministic under any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def surface_forms(mentions: DataFrame, word_col: str = "word") -> DataFrame:
+    """Distinct normalized surface forms with their char-3-gram sets."""
+    forms = (mentions
+             .select(F.lower(F.trim(F.col(word_col))).alias("form"))
+             .filter(F.length("form") >= 2)
+             .distinct())
+    grams = F.array_distinct(F.expr(
+        "transform(sequence(1, greatest(length(form) - 2, 1)), "
+        "i -> substring(form, i, least(3, length(form))))"))
+    return forms.withColumn("grams", grams)
+
+
+def minhash_bands(forms: DataFrame, num_hashes: int = 8,
+                  band_size: int = 2) -> DataFrame:
+    """Signature + LSH band keys, computed in one projection."""
+    sig = F.array(*[
+        F.array_min(F.expr(
+            f"transform(grams, g -> xxhash64({seed}L, g))"))
+        for seed in range(num_hashes)])
+    banded = forms.withColumn("sig", sig)
+    n_bands = num_hashes // band_size
+    bands = F.array(*[
+        F.xxhash64(F.lit(b), *[F.col("sig")[b * band_size + j]
+                               for j in range(band_size)])
+        for b in range(n_bands)])
+    return (banded.withColumn("band", F.explode(bands))
+            .select("band", "form", "grams"))
+
+
+def candidate_pairs(banded: DataFrame, jaccard_threshold: float = 0.5,
+                    max_bucket: int = 1000) -> DataFrame:
+    """Self-join within band buckets → verified similarity edges.
+
+    Buckets larger than ``max_bucket`` are dropped (a bucket that
+    big means a degenerate band — at 10^12-file scale it would
+    quadratically explode; the dropped forms still canonicalize to
+    themselves).  AQE skew-join splitting handles the rest.
+    """
+    sized = banded.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band")))
+    small = sized.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+    a = small.alias("a")
+    b = small.alias("b")
+    pairs = (a.join(b, on="band")
+             .filter(F.col("a.form") < F.col("b.form"))
+             .select(F.col("a.form").alias("src"),
+                     F.col("b.form").alias("dst"),
+                     F.col("a.grams").alias("g1"),
+                     F.col("b.grams").alias("g2"))
+             .dropDuplicates(["src", "dst"]))
+    jac = (F.size(F.array_intersect("g1", "g2")) /
+           F.size(F.array_union("g1", "g2")))
+    return (pairs.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("src", "dst", "jaccard"))
+
+
+def connected_components(vertices: DataFrame, edges: DataFrame,
+                         max_iter: int = 20) -> DataFrame:
+    """Min-label propagation to fixpoint.
+
+    vertices: (form), edges: (src, dst).  Returns (form, canonical).
+    Iterations ≤ graph diameter; LSH similarity components are
+    shallow, so this converges in a handful of joins.  Labels start
+    as the form itself; each round every vertex takes the min of its
+    own label and its neighbors' labels.
+    """
+    sym = (edges.select("src", "dst")
+           .union(edges.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"))))
+    sym = sym.repartition("src").localCheckpoint()
+    labels = vertices.select("form", F.col("form").alias("canonical"))
+    for _ in range(max_iter):
+        prop = (sym.join(labels, sym.dst == labels.form)
+                .groupBy("src").agg(F.min("canonical").alias("nb")))
+        new_labels = (labels.join(prop, labels.form == prop.src, "left")
+                      .select("form",
+                              F.least("canonical",
+                                      F.coalesce("nb", "canonical"))
+                              .alias("canonical")))
+        new_labels = new_labels.localCheckpoint()
+        changed = (new_labels.join(labels.withColumnRenamed(
+            "canonical", "old"), "form")
+            .filter(F.col("canonical") != F.col("old")).limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_map(mentions: DataFrame, word_col: str = "word",
+                  num_hashes: int = 8, band_size: int = 2,
+                  jaccard_threshold: float = 0.5) -> DataFrame:
+    """form → canonical (entity surface).  Forms shorter than 2 chars
+    and forms with no similar neighbor map to themselves."""
+    forms = surface_forms(mentions, word_col)
+    banded = minhash_bands(forms, num_hashes, band_size)
+    edges = candidate_pairs(banded, jaccard_threshold)
+    comp = connected_components(forms.select("form"), edges)
+    return comp.withColumn("entity_id", F.xxhash64("canonical"))

@@ -1,0 +1,115 @@
+"""Arrow-batched tagger operator: the engine as a Spark map stage.
+
+One ``mapInPandas`` fuses the whole per-row pipeline (SURVEY §2.2 K2 +
+K3/K4: chars → q2b → DAG-seg → ids → GRU-CRF → decode → custom →
+merge → rank → mention/triple extraction) so data never leaves the
+python worker between stages — the Spark re-expression of the
+reference's single fused inference program (models.py:71-175).
+
+The engine is constructed once per python worker process and reused
+across tasks (module-level singleton keyed by config) — ≙ the
+reference's per-thread predictor clone sharing weights
+(c++/src/lac.cpp:64-79).  Model/dict resources travel with the
+package zip (spark-submit --py-files); custom-dict entries travel in
+the closure (small, driver-parsed).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_WORKER_ENGINES: dict = {}
+
+MENTION_FIELDS = T.StructType([
+    T.StructField("word", T.StringType()),
+    T.StructField("tag", T.StringType()),
+    T.StructField("rank", T.IntegerType()),
+    T.StructField("word_idx", T.IntegerType()),
+    T.StructField("char_begin", T.IntegerType()),
+])
+TRIPLE_FIELDS = T.StructType([
+    T.StructField("subj", T.StringType()),
+    T.StructField("pred", T.StringType()),
+    T.StructField("obj", T.StringType()),
+    T.StructField("conf", T.DoubleType()),
+])
+
+TAG_OUTPUT_FIELDS = [
+    T.StructField("words", T.ArrayType(T.StringType())),
+    T.StructField("tags", T.ArrayType(T.StringType())),
+    T.StructField("ranks", T.ArrayType(T.IntegerType())),
+]
+EXTRACT_OUTPUT_FIELDS = TAG_OUTPUT_FIELDS + [
+    T.StructField("mentions", T.ArrayType(MENTION_FIELDS)),
+    T.StructField("triples", T.ArrayType(TRIPLE_FIELDS)),
+]
+
+
+def _worker_engine(custom_lines: tuple[str, ...], use_automaton: bool):
+    key = (custom_lines, use_automaton)
+    eng = _WORKER_ENGINES.get(key)
+    if eng is None:
+        from lacspark.engine import LacEngine
+
+        eng = LacEngine(use_automaton=use_automaton)
+        for line in custom_lines:
+            eng.add_word(line)
+        _WORKER_ENGINES[key] = eng
+    return eng
+
+
+def tag_and_extract(df: DataFrame, text_col: str = "text",
+                    mode: str = "rank",
+                    custom_lines: tuple[str, ...] = (),
+                    use_automaton: bool = False,
+                    with_extraction: bool = True,
+                    triple_window: int = 8) -> DataFrame:
+    """Append words/tags/ranks (+ mentions/triples) columns.
+
+    Keeps every input column (row identity preserved — empty texts
+    yield empty arrays in place, models.py:73-101 semantics without
+    any reordering).
+    """
+    new_fields = EXTRACT_OUTPUT_FIELDS if with_extraction else TAG_OUTPUT_FIELDS
+    out_schema = T.StructType(list(df.schema.fields) + new_fields)
+    custom_lines = tuple(custom_lines)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        eng = _worker_engine(custom_lines, use_automaton)
+        for pdf in batches:
+            texts = ["" if t is None else str(t) for t in pdf[text_col]]
+            results = eng.run_batch(texts, mode=mode)
+            pdf = pdf.copy()
+            pdf["words"] = [r.words for r in results]
+            pdf["tags"] = [r.tags for r in results]
+            pdf["ranks"] = [r.ranks if r.ranks else [0] * len(r.words)
+                            for r in results]
+            if with_extraction:
+                mentions, triples = [], []
+                for r in results:
+                    m, t3 = eng.extract(r, window=triple_window)
+                    mentions.append(m)
+                    triples.append(t3)
+                pdf["mentions"] = mentions
+                pdf["triples"] = triples
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def explode_mentions(tagged: DataFrame, keys: list[str]) -> DataFrame:
+    """K3: one row per entity mention, with position + salience."""
+    m = tagged.select(*keys, F.explode("mentions").alias("m"))
+    return m.select(*keys, "m.word", "m.tag", "m.rank", "m.word_idx",
+                    "m.char_begin")
+
+
+def explode_triples(tagged: DataFrame, keys: list[str]) -> DataFrame:
+    """K4: one row per (subj, pred, obj, conf)."""
+    t = tagged.select(*keys, F.explode("triples").alias("t"))
+    return t.select(*keys, "t.subj", "t.pred", "t.obj", "t.conf")

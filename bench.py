@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "extra": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def kg_pipeline_bench(spark, sf_dir):
+    """Headline: full KG construction over the documents corpus —
+    tag (GRU-CRF UDF) → mentions/triples → minhash canonicalization →
+    graph materialize.  Returns (n_rows, extra_metrics)."""
+    from pyspark.sql import functions as F
+
+    from lacspark.spark.canonical import canonical_map
+    from lacspark.spark.graph import build_edges, build_vertices
+    from lacspark.spark.tagger import (explode_mentions, explode_triples,
+                                       tag_and_extract)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tagged = tag_and_extract(docs, "text", mode="rank").persist()
+    mentions = explode_mentions(tagged, ["doc_id"]).persist()
+    triples = explode_triples(tagged, ["doc_id"])
+    n_docs = tagged.count()
+    n_mentions = mentions.count()
+    n_triples = triples.count()
+    cmap = canonical_map(mentions).persist()
+    n_vertices = build_vertices(mentions, cmap).count()
+    n_edges = build_edges(triples, cmap).count()
+    n_chars = docs.agg(F.sum(F.length("text"))).collect()[0][0]
+    tagged.unpersist()
+    mentions.unpersist()
+    cmap.unpersist()
+    return n_triples, {
+        "n_docs": n_docs, "n_chars": int(n_chars or 0),
+        "n_mentions": n_mentions, "n_triples": n_triples,
+        "n_vertices": n_vertices, "n_edges": n_edges,
+    }
+
+
+def main() -> None:
+    from lacspark.queries import SPARK_QUERIES
+    from lacspark.spark.session import get_spark
+
+    spark = get_spark(app_name="lacspark-bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extra: dict = {"cpus": CPUS}
+
+    t0 = time.time()
+    n_triples, kg_stats = kg_pipeline_bench(spark, SF_DIR)
+    kg_sec = time.time() - t0
+    timings["kg_pipeline"] = round(kg_sec, 3)
+    extra.update(kg_stats)
+    extra["triples_per_sec"] = round(n_triples / kg_sec, 1)
+    extra["docs_per_sec"] = round(kg_stats["n_docs"] / kg_sec, 1)
+    extra["chars_per_sec"] = round(kg_stats["n_chars"] / kg_sec, 1)
+
+    bench_queries = [
+        "tpch_q1_pricing", "orders_by_nation", "top_orders_per_customer",
+        "events_tumbling_minute", "term_frequency_topk",
+        "word_boundary_merge", "cooccurrence_pairs",
+        "dedup_exact_stats", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_jaccard_adjacent", "quality_score", "token_class_counts",
+        "doc_fingerprint", "lang_id_heuristic",
+        "ann_bruteforce_top5", "ann_lsh_topk", "ann_lsh_buckets",
+        "token_minhash_canonical",
+    ]
+    for name in bench_queries:
+        t0 = time.time()
+        n = SPARK_QUERIES[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+        extra.setdefault("rows", {})[name] = n
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = SF_DIR
+    out = {
+        "metric": "kg_construct_total_sec (tag+extract+canonicalize+"
+                  "materialize + query suite)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extra": extra,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

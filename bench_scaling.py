@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling benchmark (the north rule's N vs 4N
+cluster-size criterion, evidenced in-sandbox as local[8] vs local[32]
+on byte-identical input).
+
+Each level runs in its own subprocess (fresh JVM) so the cores
+setting actually takes effect.  Prints a JSON summary and is the
+source for the scaling section in BASELINE.md / BENCH.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+cores = int(sys.argv[1])
+n_files = int(sys.argv[2])
+from lacspark.spark.session import get_spark
+from lacspark.spark.repos_files import synth_repos_files
+from lacspark.spark.kg import tag_files, file_triples, FILE_KEYS
+from pyspark.sql import functions as F
+spark = get_spark(app_name=f"scale-{cores}", cores=cores,
+                  shuffle_partitions=max(2 * cores, 16))
+spark.sparkContext.setLogLevel("ERROR")
+files = synth_repos_files(spark, n_files=n_files,
+                          partitions=4 * cores).cache()
+n = files.count()          # materialize input outside the timed region
+t0 = time.time()
+tagged = tag_files(files.withColumn("content_sha256",
+                                    F.sha2("content", 256)))
+agg = tagged.agg(F.sum(F.expr("size(triples)")).alias("t"),
+                 F.sum(F.expr("size(mentions)")).alias("m"),
+                 F.sum((~F.col("sha_ok")).cast("long")).alias("bad")) \
+    .collect()[0]
+wall = time.time() - t0
+print(json.dumps({"cores": cores, "n_files": n, "wall_sec": wall,
+                  "n_triples": int(agg.t), "n_mentions": int(agg.m),
+                  "sha_bad": int(agg.bad),
+                  "triples_per_sec": agg.t / wall}))
+spark.stop()
+"""
+
+
+def run_level(cores: int, n_files: int) -> dict:
+    res = subprocess.run(
+        [sys.executable, "-c", WORKER % {"repo": REPO},
+         str(cores), str(n_files)],
+        capture_output=True, text=True, timeout=3600)
+    if res.returncode != 0:
+        raise RuntimeError(res.stderr[-2000:])
+    return json.loads(res.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n_files = int(os.environ.get("SCALING_N_FILES", "20000"))
+    low = int(os.environ.get("SCALING_LOW", "8"))
+    high = int(os.environ.get("SCALING_HIGH", "32"))
+    r_low = run_level(low, n_files)
+    r_high = run_level(high, n_files)
+    ratio = r_high["triples_per_sec"] / r_low["triples_per_sec"]
+    eff = ratio / (high / low)
+    out = {
+        "n_files": n_files,
+        "low": r_low, "high": r_high,
+        "speedup": round(ratio, 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,3 +16,31 @@ __version__ = "0.1.0"
 from pathlib import Path
 
 RESOURCE_DIR = Path(__file__).resolve().parent / "resources"
+
+
+def resource_dir() -> Path:
+    """Path to the dictionary/model resources.
+
+    When the package is shipped as ``spark-submit --py-files
+    lacspark.zip``, ``__file__`` lives inside the zip; extract the
+    resources once per process to a temp dir (≙ the reference's
+    per-process model load) and return that."""
+    if RESOURCE_DIR.is_dir():
+        return RESOURCE_DIR
+    global _EXTRACTED
+    try:
+        return _EXTRACTED
+    except NameError:
+        pass
+    import atexit
+    import importlib.resources as ir
+    import shutil
+    import tempfile
+
+    tmp = Path(tempfile.mkdtemp(prefix="lacspark_res_"))
+    atexit.register(shutil.rmtree, tmp, True)
+    root = ir.files(__name__) / "resources"
+    for entry in root.iterdir():
+        (tmp / entry.name).write_bytes(entry.read_bytes())
+    _EXTRACTED = tmp
+    return tmp

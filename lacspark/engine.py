@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from . import RESOURCE_DIR
+from . import resource_dir
 from .customization import Customization
 from .encoding import Encoder, load_kv
 from .net import BiGruCrf
@@ -42,10 +42,11 @@ class Analysis:
 class LacEngine:
     """seg/lac/rank analysis over ragged batches, numpy-vectorized."""
 
-    def __init__(self, resource_dir: str | os.PathLike | None = None,
+    def __init__(self, resource_dir_path: str | os.PathLike | None = None,
                  custom_dict_path: str | None = None,
                  use_automaton: bool = False):
-        rd = str(resource_dir or RESOURCE_DIR)
+        rd = str(resource_dir() if resource_dir_path is None
+                 else resource_dir_path)
         self.encoder = Encoder.from_files(
             os.path.join(rd, "word.dic"), os.path.join(rd, "q2b.dic"))
         self.id2label = load_kv(os.path.join(rd, "tag.dic"), key_func=int)

@@ -1,0 +1,790 @@
+"""Driver-contract query registry: Spark callable + DuckDB oracle SQL
+side by side for every SQL-expressible operator (SURVEY.md §2), plus
+rows-only entries for the UDF-backed ones (tagger, KG extraction).
+
+Design rules keeping the two engines hash-identical:
+* every computed column aliased the same on both sides;
+* doubles always rounded and cast to double explicitly;
+* deterministic hashes only via md5 (identical in both engines;
+  int64 form = first 15 hex digits parsed base-16);
+* token split on single space with empties filtered on both sides;
+* DuckDB arrays are 1-indexed, Spark's element_at is 1-indexed too.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# helpers — Spark side
+def _tokens(df: DataFrame) -> DataFrame:
+    """documents → (doc_id, pos, token), empties filtered."""
+    t = df.select("doc_id", F.posexplode(F.split("text", " "))
+                  .alias("pos", "token"))
+    return t.filter(F.length("token") > 0)
+
+
+_MD5INT_SPARK = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
+_MD5INT_DUCK = "(('0x' || substring(md5({x}), 1, 15))::BIGINT)"
+
+# DuckDB-side token explode (keeps the same filter semantics)
+_DUCK_TOKENS = """
+    select doc_id, upos - 1 as pos, token from (
+        select doc_id, unnest(string_split(text, ' ')) as token,
+               generate_subscripts(string_split(text, ' '), 1) as upos
+        from documents)
+    where length(token) > 0
+"""
+
+# ---------------------------------------------------------------------------
+# Relational spine (scan → filter → agg / join / window / sort-limit)
+# ---------------------------------------------------------------------------
+
+@register("tpch_q1_pricing", """
+    select l_returnflag, l_linestatus,
+           cast(round(sum(l_quantity), 2) as double) as sum_qty,
+           cast(round(sum(l_extendedprice), 2) as double) as sum_base_price,
+           cast(round(sum(l_extendedprice * (1 - l_discount)), 2) as double)
+               as sum_disc_price,
+           count(*) as count_order
+    from lineitem
+    group by l_returnflag, l_linestatus
+    order by l_returnflag, l_linestatus
+""")
+def tpch_q1_pricing(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).cast("double")
+                 .alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).cast("double")
+                 .alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .cast("double").alias("sum_disc_price"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+@register("orders_by_nation", """
+    select n.n_name as nation,
+           count(*) as n_orders,
+           cast(round(sum(o.o_totalprice), 2) as double) as revenue
+    from orders o
+    join customer c on o.o_custkey = c.c_custkey
+    join nation n on c.c_nationkey = n.n_nationkey
+    group by n.n_name
+""")
+def orders_by_nation(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    # dimension tables are broadcast — no shuffle of the fact side
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).cast("double")
+                 .alias("revenue")))
+
+
+@register("top_orders_per_customer", """
+    select o_custkey, o_orderkey, rnk from (
+        select o_custkey, o_orderkey,
+               row_number() over (partition by o_custkey
+                                  order by o_totalprice desc, o_orderkey)
+                   as rnk
+        from orders)
+    where rnk <= 3
+""")
+def top_orders_per_customer(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (o.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("o_custkey", "o_orderkey", "rnk"))
+
+
+@register("events_tumbling_minute", """
+    select epoch(date_trunc('minute', ts))::BIGINT as window_start,
+           event_type,
+           count(*) as n_events,
+           cast(round(sum(value), 4) as double) as sum_value
+    from events
+    group by 1, 2
+""")
+def events_tumbling_minute(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (e.groupBy(
+        F.unix_timestamp(F.date_trunc("minute", "ts")).cast("bigint")
+        .alias("window_start"),
+        "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).cast("double").alias("sum_value")))
+
+
+@register("lineitem_part_supplier", """
+    select p.p_brand as brand, s.s_nationkey as nationkey,
+           count(*) as n_items,
+           cast(round(sum(l.l_extendedprice), 2) as double) as volume
+    from lineitem l
+    join part p on l.l_partkey = p.p_partkey
+    join supplier s on l.l_suppkey = s.s_suppkey
+    group by 1, 2
+""")
+def lineitem_part_supplier(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .groupBy(F.col("p_brand").alias("brand"),
+                     F.col("s_nationkey").alias("nationkey"))
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.sum("l_extendedprice"), 2).cast("double")
+                 .alias("volume")))
+
+
+# ---------------------------------------------------------------------------
+# LAC-shaped token operators over documents (O15-alt, K3, K5, O22)
+# ---------------------------------------------------------------------------
+
+@register("doc_token_stats", """
+    select d.doc_id,
+           coalesce(t.n_tokens, 0) as n_tokens,
+           coalesce(t.n_distinct, 0) as n_distinct,
+           length(d.text) as n_chars
+    from documents d
+    left join (select doc_id, count(*) as n_tokens,
+                      count(distinct token) as n_distinct
+               from (%s) group by doc_id) t on d.doc_id = t.doc_id
+""" % _DUCK_TOKENS)
+def doc_token_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    t = (_tokens(d).groupBy("doc_id")
+         .agg(F.count(F.lit(1)).alias("n_tokens"),
+              F.countDistinct("token").alias("n_distinct")))
+    return (d.join(t, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+                    F.length("text").alias("n_chars")))
+
+
+@register("term_frequency_topk", """
+    select token, freq, rnk from (
+        select token, count(*) as freq,
+               row_number() over (order by count(*) desc, token) as rnk
+        from (%s) group by token)
+    where rnk <= 50
+""" % _DUCK_TOKENS)
+def term_frequency_topk(spark, sf_dir):
+    t = _tokens(load(spark, sf_dir, "documents"))
+    agg = t.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return (agg.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 50))
+
+
+@register("mention_like_tokens", """
+    select doc_id, pos, token from (%s) where length(token) >= 5
+""" % _DUCK_TOKENS)
+def mention_like_tokens(spark, sf_dir):
+    t = _tokens(load(spark, sf_dir, "documents"))
+    return t.filter(F.length("token") >= 5).select("doc_id", "pos", "token")
+
+
+@register("salience_topk_tokens", """
+    select doc_id, token, pos, rnk from (
+        select doc_id, token, pos,
+               row_number() over (partition by doc_id
+                                  order by length(token) desc, token, pos)
+                   as rnk
+        from (%s))
+    where rnk <= 3
+""" % _DUCK_TOKENS)
+def salience_topk_tokens(spark, sf_dir):
+    t = _tokens(load(spark, sf_dir, "documents"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.length("token")), F.asc("token"), F.asc("pos"))
+    return (t.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("doc_id", "token", "pos", "rnk"))
+
+
+@register("word_boundary_merge", """
+    select doc_id, word_id,
+           string_agg(token, ' ' order by pos) as merged,
+           count(*) as n_parts
+    from (
+        select doc_id, pos, token,
+               sum(case when token similar to '[aeiou].*' then 1 else 0 end)
+                   over (partition by doc_id order by pos
+                         rows between unbounded preceding and current row)
+                   as word_id
+        from (%s))
+    group by doc_id, word_id
+""" % _DUCK_TOKENS)
+def word_boundary_merge(spark, sf_dir):
+    """O15 expressed in pure SQL: boundary flag → running sum →
+    group-concat (SURVEY §2.1 O15 'pure-SQL alternative')."""
+    t = _tokens(load(spark, sf_dir, "documents"))
+    is_b = F.when(F.col("token").rlike("^[aeiou]"), 1).otherwise(0)
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    marked = t.withColumn("word_id", F.sum(is_b).over(w))
+    return (marked.groupBy("doc_id", "word_id")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s["token"]), " ").alias("merged"),
+                F.count(F.lit(1)).alias("n_parts")))
+
+
+@register("chunk_eval_f1", """
+    with toks as (%s),
+    pred as (select doc_id, pos from toks where length(token) %% 2 = 0),
+    gold as (select doc_id, pos from toks where token similar to '[a-m].*')
+    select
+        (select count(*) from pred join gold using (doc_id, pos)) as tp,
+        (select count(*) from pred left join gold using (doc_id, pos)
+            where gold.pos is null) as fp,
+        (select count(*) from gold left join pred using (doc_id, pos)
+            where pred.pos is null) as fn
+""" % _DUCK_TOKENS)
+def chunk_eval_f1(spark, sf_dir):
+    """O22 chunk_eval as a join metric: two rule 'taggers' compared
+    on (doc, pos) chunks — the same shape as the P/R≥0.95 gate."""
+    t = _tokens(load(spark, sf_dir, "documents")).cache()
+    pred = t.filter(F.length("token") % 2 == 0).select("doc_id", "pos")
+    gold = t.filter(F.col("token").rlike("^[a-m]")).select("doc_id", "pos")
+    tp = pred.join(gold, ["doc_id", "pos"]).count()
+    fp = pred.join(gold, ["doc_id", "pos"], "left_anti").count()
+    fn = gold.join(pred, ["doc_id", "pos"], "left_anti").count()
+    return spark.createDataFrame([(tp, fp, fn)], "tp long, fp long, fn long")
+
+
+@register("cooccurrence_pairs", """
+    with toks as (select * from (%s) where length(token) >= 4)
+    select a.token as t1, b.token as t2, count(*) as n_cooccur
+    from toks a join toks b
+      on a.doc_id = b.doc_id and b.pos > a.pos and b.pos <= a.pos + 3
+    where a.token < b.token
+    group by 1, 2
+""" % _DUCK_TOKENS)
+def cooccurrence_pairs(spark, sf_dir):
+    """K4's cross-sentence variant: range self-join on positions."""
+    t = (_tokens(load(spark, sf_dir, "documents"))
+         .filter(F.length("token") >= 4))
+    a, b = t.alias("a"), t.alias("b")
+    return (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                   & (F.col("b.pos") > F.col("a.pos"))
+                   & (F.col("b.pos") <= F.col("a.pos") + 3))
+            .filter(F.col("a.token") < F.col("b.token"))
+            .groupBy(F.col("a.token").alias("t1"),
+                     F.col("b.token").alias("t2"))
+            .agg(F.count(F.lit(1)).alias("n_cooccur")))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication suite (exact, minhash/LSH, simhash, n-gram jaccard)
+# ---------------------------------------------------------------------------
+
+@register("dedup_exact_stats", """
+    select count(*) as n_docs,
+           count(distinct md5(text)) as n_distinct,
+           count(*) - count(distinct md5(text)) as n_dup_rows
+    from documents
+""")
+def dedup_exact_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (d.agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.countDistinct(F.md5("text")).alias("n_distinct"))
+            .withColumn("n_dup_rows",
+                        F.col("n_docs") - F.col("n_distinct")))
+
+
+@register("dedup_exact_pairs", """
+    select a.doc_id as d1, b.doc_id as d2
+    from (select doc_id, md5(text) h from documents) a
+    join (select doc_id, md5(text) h from documents) b
+      on a.h = b.h and a.doc_id < b.doc_id
+""")
+def dedup_exact_pairs(spark, sf_dir):
+    d = load(spark, sf_dir, "documents") \
+        .select("doc_id", F.md5("text").alias("h"))
+    a, b = d.alias("a"), d.alias("b")
+    return (a.join(b, (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("d1"),
+                    F.col("b.doc_id").alias("d2")))
+
+
+def _minhash_select_duck(n: int) -> str:
+    return ", ".join(
+        "min(" + _MD5INT_DUCK.format(x=f"'s{i}:' || token") + f") as mh{i}"
+        for i in range(n))
+
+
+@register("dedup_minhash_lsh", f"""
+    with toks as ({_DUCK_TOKENS}),
+    sigs as (select doc_id, {_minhash_select_duck(6)}
+             from (select distinct doc_id, token from toks) group by doc_id),
+    bands as (
+        select doc_id, 0 as band, md5(mh0::VARCHAR || ',' || mh1::VARCHAR) as bkey from sigs
+        union all
+        select doc_id, 1, md5(mh2::VARCHAR || ',' || mh3::VARCHAR) from sigs
+        union all
+        select doc_id, 2, md5(mh4::VARCHAR || ',' || mh5::VARCHAR) from sigs),
+    cand as (select distinct a.doc_id as d1, b.doc_id as d2
+             from bands a join bands b
+               on a.band = b.band and a.bkey = b.bkey
+                  and a.doc_id < b.doc_id),
+    tsets as (select distinct doc_id, token from toks)
+    select d1, d2,
+           cast(round(
+               (select count(*) from tsets x join tsets y
+                   on x.token = y.token
+                   where x.doc_id = d1 and y.doc_id = d2) * 1.0 /
+               ((select count(*) from tsets where doc_id = d1) +
+                (select count(*) from tsets where doc_id = d2) -
+                (select count(*) from tsets x join tsets y
+                   on x.token = y.token
+                   where x.doc_id = d1 and y.doc_id = d2)), 4) as double)
+               as jaccard
+    from cand
+    where ((select count(*) from tsets x join tsets y on x.token = y.token
+            where x.doc_id = d1 and y.doc_id = d2) * 1.0 /
+           ((select count(*) from tsets where doc_id = d1) +
+            (select count(*) from tsets where doc_id = d2) -
+            (select count(*) from tsets x join tsets y on x.token = y.token
+             where x.doc_id = d1 and y.doc_id = d2))) >= 0.9
+""")
+def dedup_minhash_lsh(spark, sf_dir):
+    """Near-dup detection: token-set minhash (6 hashes, 3 bands of 2)
+    → banded candidate join → exact-jaccard verification ≥ 0.9.
+    All hashing md5-based and deterministic (K6's mechanism applied
+    to whole-document dedup)."""
+    from .spark.dedup import minhash_near_duplicates
+    return minhash_near_duplicates(load(spark, sf_dir, "documents"),
+                                   "doc_id", "text", num_hashes=6,
+                                   band_size=2, threshold=0.9)
+
+
+@register("dedup_simhash", f"""
+    with toks as ({_DUCK_TOKENS}),
+    bits as (select doc_id,
+        {", ".join(
+            f"sum(case when (({_MD5INT_DUCK.format(x='token')}) >> {j}) & 1 = 1 "
+            f"then 1 else -1 end) as b{j}" for j in range(16))}
+        from toks group by doc_id)
+    select doc_id,
+           ({" + ".join(f"(case when b{j} > 0 then {1 << j} else 0 end)"
+                        for j in range(16))})::BIGINT as simhash
+    from bits
+""")
+def dedup_simhash(spark, sf_dir):
+    """16-bit simhash fingerprint from md5 token hashes — identical
+    arithmetic in the DuckDB oracle."""
+    from .spark.dedup import simhash
+    return simhash(load(spark, sf_dir, "documents"), "doc_id", "text",
+                   nbits=16)
+
+
+@register("dedup_jaccard_adjacent", """
+    with tsets as (select distinct doc_id, token from (%s))
+    select a.doc_id as doc_id,
+           cast(round(
+               count(case when b.token is not null then 1 end) * 1.0 /
+               (count(distinct a.token)
+                + (select count(distinct token) from tsets
+                   where doc_id = a.doc_id + 1)
+                - count(case when b.token is not null then 1 end)), 4)
+               as double) as jaccard_next
+    from tsets a
+    left join tsets b on b.doc_id = a.doc_id + 1 and b.token = a.token
+    where exists (select 1 from tsets c where c.doc_id = a.doc_id + 1)
+    group by a.doc_id
+""" % _DUCK_TOKENS)
+def dedup_jaccard_adjacent(spark, sf_dir):
+    """Token-set jaccard between doc i and doc i+1 — n-gram-jaccard
+    dedup on a linear candidate structure."""
+    tsets = (_tokens(load(spark, sf_dir, "documents"))
+             .select("doc_id", "token").distinct().cache())
+    sizes = tsets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    nxt = tsets.select((F.col("doc_id") - 1).alias("doc_id"), "token")
+    inter = (tsets.join(nxt, ["doc_id", "token"])
+             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_inter")))
+    s2 = sizes.select((F.col("doc_id") - 1).alias("doc_id"),
+                      F.col("sz").alias("sz_next"))
+    return (sizes.join(s2, "doc_id")  # only docs that have a successor
+            .join(inter, "doc_id", "left").na.fill({"n_inter": 0})
+            .select("doc_id",
+                    F.round(F.col("n_inter")
+                            / (F.col("sz") + F.col("sz_next")
+                               - F.col("n_inter")), 4)
+                    .cast("double").alias("jaccard_next")))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: lang-id, quality, token classes, fingerprint
+# ---------------------------------------------------------------------------
+
+@register("lang_id_heuristic", """
+    select doc_id,
+        case
+          when length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) * 2
+               > length(text) then 'cjk-or-other'
+          when length(text) - length(replace(text, ' the ', '    ')) > 0
+            then 'en'
+          else 'unknown'
+        end as lang_pred
+    from documents
+""")
+def lang_id_heuristic(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    non_ascii = F.length(F.regexp_replace("text", r"[\x00-\x7F]", ""))
+    has_the = (F.length("text")
+               - F.length(F.replace(F.col("text"), F.lit(" the "),
+                                    F.lit("    ")))) > 0
+    return d.select(
+        "doc_id",
+        F.when(non_ascii * 2 > F.length("text"), "cjk-or-other")
+        .when(has_the, "en").otherwise("unknown").alias("lang_pred"))
+
+
+@register("quality_score", """
+    select doc_id,
+           least(length(text) // 100, 5) as len_bucket,
+           (length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 100)
+               // greatest(length(text), 1) as punct_pct,
+           (length(text) - length(replace(replace(replace(text,
+                ' the ', '     '), ' a ', '    '), ' and ', '      ')))
+               as stopword_chars,
+           case when length(text) between 50 and 5000
+                 and (length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                      * 100) // greatest(length(text), 1) < 10
+                then 1 else 0 end as is_quality
+    from documents
+""")
+def quality_score(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+    punct_pct = F.floor(punct * 100 / F.greatest(F.length("text"), F.lit(1)))
+    stop = (F.length("text") - F.length(
+        F.replace(F.replace(F.replace(F.col("text"),
+                                      F.lit(" the "), F.lit("     ")),
+                            F.lit(" a "), F.lit("    ")),
+                  F.lit(" and "), F.lit("      "))))
+    return d.select(
+        "doc_id",
+        F.least(F.floor(F.length("text") / 100), F.lit(5)).cast("long")
+        .alias("len_bucket"),
+        punct_pct.cast("long").alias("punct_pct"),
+        stop.cast("long").alias("stopword_chars"),
+        F.when(F.length("text").between(50, 5000)
+               & (punct_pct < 10), 1).otherwise(0).alias("is_quality"))
+
+
+@register("token_class_counts", """
+    select doc_id,
+           length(regexp_extract_all(text, '[A-Za-z]+')) as n_alpha,
+           length(regexp_extract_all(text, '[0-9]+')) as n_num,
+           length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+               as n_bpe_ish
+    from documents
+""")
+def token_class_counts(spark, sf_dir):
+    """BPE-ish token counting via regex classes (scale path for
+    token-budget accounting)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]+"), F.lit(0)))
+        .alias("n_alpha"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0)))
+        .alias("n_num"),
+        F.size(F.regexp_extract_all(
+            "text", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), F.lit(0)))
+        .alias("n_bpe_ish"))
+
+
+@register("doc_fingerprint", """
+    select doc_id,
+           md5(lower(regexp_replace(text, ' +', ' ', 'g'))) as fingerprint,
+           %s as fp_int
+    from documents
+""" % _MD5INT_DUCK.format(x="lower(regexp_replace(text, ' +', ' ', 'g'))"))
+def doc_fingerprint(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace("text", " +", " "))
+    return d.select(
+        "doc_id", F.md5(norm).alias("fingerprint"),
+        F.expr(_MD5INT_SPARK.format(
+            x="lower(regexp_replace(text, ' +', ' '))")).alias("fp_int"))
+
+
+@register("binary_payload_meta", """
+    select doc_id,
+           octet_length(encode(text)) as n_bytes,
+           sha256(text) as payload_sha
+    from documents
+""")
+def binary_payload_meta(spark, sf_dir):
+    """Multimodal plumbing: treat the payload as an opaque binary
+    column with typed metadata (SURVEY multimodal posture; the decode
+    step itself is stubbed in lacspark.spark.multimodal)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    F.octet_length(F.encode("text", "utf-8"))
+                    .alias("n_bytes"),
+                    F.sha2("text", 256).alias("payload_sha"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@register("ann_bruteforce_top5", """
+    with q as (select vec_id, embedding::DOUBLE[] e from embeddings
+               where vec_id < 10),
+    n as (select vec_id, embedding::DOUBLE[] e from embeddings)
+    select query_id, neighbor_id, rnk from (
+        select q.vec_id as query_id, n.vec_id as neighbor_id,
+               row_number() over (
+                   partition by q.vec_id
+                   order by list_dot_product(q.e, n.e) /
+                       (sqrt(list_dot_product(q.e, q.e))
+                        * sqrt(list_dot_product(n.e, n.e))) desc,
+                       n.vec_id) as rnk
+        from q cross join n where n.vec_id != q.vec_id)
+    where rnk <= 5
+""")
+def ann_bruteforce_top5(spark, sf_dir):
+    """Brute-force cosine top-k: the correctness baseline for ANN.
+    Dot products via zip_with/aggregate on double-cast arrays — all
+    JVM-side, no UDF."""
+    from .spark.similarity import cosine_topk
+    e = load(spark, sf_dir, "embeddings")
+    return cosine_topk(e.filter(F.col("vec_id") < 10), e,
+                       "vec_id", "embedding", k=5) \
+        .select("query_id", "neighbor_id", "rnk")
+
+
+@register("ann_lsh_buckets", """
+    select bucket, count(*) as n_vectors from (
+        select vec_id,
+               (%s)::BIGINT as bucket
+        from embeddings)
+    group by bucket
+""" % " + ".join(f"(case when embedding[{j + 1}] > 0 then {1 << j} else 0 end)"
+                 for j in range(8)))
+def ann_lsh_buckets(spark, sf_dir):
+    """Sign-bit LSH bucketing over the first 8 dims — the scale path
+    that turns ANN into an equi-join on bucket keys."""
+    e = load(spark, sf_dir, "embeddings")
+    expr = " + ".join(
+        f"(case when element_at(embedding, {j + 1}) > 0 "
+        f"then {1 << j} else 0 end)" for j in range(8))
+    return (e.select(F.expr(f"cast({expr} as bigint)").alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors")))
+
+
+@register("embedding_label_stats", """
+    select label, count(*) as n,
+           cast(round(avg(sqrt(list_dot_product(
+               embedding::DOUBLE[], embedding::DOUBLE[]))), 4) as double)
+               as avg_norm
+    from embeddings group by label
+""")
+def embedding_label_stats(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    dot = ("aggregate(zip_with(e, e, (x, y) -> x * y), cast(0 as double), "
+           "(acc, v) -> acc + v)")
+    return (e.select("label",
+                     F.expr("transform(embedding, x -> cast(x as double))")
+                     .alias("e"))
+            .withColumn("nrm", F.expr(f"sqrt({dot})"))
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("nrm"), 4).cast("double").alias("avg_norm")))
+
+
+@register("dedup_exact_groups", """
+    select content_hash, n_docs, ids from (
+        select md5(text) as content_hash, count(*) as n_docs,
+               list_sort(list(doc_id)) as ids
+        from documents group by 1)
+    where n_docs > 1
+""")
+def dedup_exact_groups_q(spark, sf_dir):
+    from .spark.dedup import exact_duplicate_groups
+    return exact_duplicate_groups(load(spark, sf_dir, "documents"),
+                                  "doc_id", "text")
+
+
+@register("ann_lsh_topk")
+def ann_lsh_topk(spark, sf_dir):
+    """Scale-path ANN: sign-bit LSH bucket equi-join + in-bucket
+    re-rank (rows-only; the exact baseline above is the oracle-gated
+    twin)."""
+    from .spark.similarity import lsh_bucketed_topk
+    e = load(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(e.filter(F.col("vec_id") < 50), e,
+                             "vec_id", "embedding", k=5, nbits=8) \
+        .select("query_id", "neighbor_id", "rnk")
+
+
+@register("multimodal_features")
+def multimodal_features(spark, sf_dir):
+    """Binary-payload feature extraction plumbing (decode stubbed
+    deterministically; schema/batching real)."""
+    from .spark.multimodal import extract_media_features, synth_media
+    media = synth_media(spark, n=200)
+    return extract_media_features(media).select(
+        "media_id", "kind", "n_bytes", "payload_sha", "width", "height")
+
+
+# ---------------------------------------------------------------------------
+# Canonicalization in pure SQL (K6 shape with an oracle)
+# ---------------------------------------------------------------------------
+
+@register("token_minhash_canonical", f"""
+    with toks as (select distinct token from ({_DUCK_TOKENS})
+                  where length(token) >= 3),
+    grams as (select token, unnest(g) as gram from (
+        select token,
+               list_transform(generate_series(1, length(token) - 2),
+                              i -> substring(token, i, 3)) as g
+        from toks)),
+    sigs as (select token,
+        {", ".join("min(" + _MD5INT_DUCK.format(x=f"'g{i}:' || gram") + f") as mh{i}" for i in range(4))}
+        from grams group by token)
+    select a.token as token, min(b.token) as canonical
+    from sigs a join sigs b on a.mh0 = b.mh0 and a.mh1 = b.mh1
+    group by a.token
+""")
+def token_minhash_canonical(spark, sf_dir):
+    """K6 in oracle-checkable form: char-3-gram minhash signature,
+    tokens agreeing on the first band canonicalize to the min token."""
+    toks = (_tokens(load(spark, sf_dir, "documents"))
+            .select("token").distinct()
+            .filter(F.length("token") >= 3))
+    grams = toks.select(
+        "token",
+        F.explode(F.expr(
+            "transform(sequence(1, length(token) - 2), "
+            "i -> substring(token, i, 3))")).alias("gram"))
+    sigs = grams.groupBy("token").agg(*[
+        F.min(F.expr(_MD5INT_SPARK.format(x=f"concat('g{i}:', gram)")))
+        .alias(f"mh{i}") for i in range(4)])
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (a.join(b, (F.col("a.mh0") == F.col("b.mh0"))
+                   & (F.col("a.mh1") == F.col("b.mh1")))
+            .groupBy(F.col("a.token").alias("token"))
+            .agg(F.min(F.col("b.token")).alias("canonical")))
+
+
+# ---------------------------------------------------------------------------
+# Rows-only entries (UDF-backed; no SQL oracle by nature)
+# ---------------------------------------------------------------------------
+
+def _docs_subset(spark, sf_dir):
+    return (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 3 == 0))
+
+
+@register("lac_tag_documents")
+def lac_tag_documents(spark, sf_dir):
+    from .spark.tagger import tag_and_extract
+    return (tag_and_extract(_docs_subset(spark, sf_dir), "text",
+                            mode="rank", with_extraction=False)
+            .select("doc_id", "words", "tags", "ranks"))
+
+
+@register("lac_seg_documents")
+def lac_seg_documents(spark, sf_dir):
+    from .spark.tagger import tag_and_extract
+    return (tag_and_extract(_docs_subset(spark, sf_dir), "text",
+                            mode="seg", with_extraction=False)
+            .select("doc_id", "words"))
+
+
+@register("kg_mentions")
+def kg_mentions(spark, sf_dir):
+    from .spark.tagger import explode_mentions, tag_and_extract
+    tagged = tag_and_extract(_docs_subset(spark, sf_dir), "text",
+                             mode="rank")
+    return explode_mentions(tagged, ["doc_id"])
+
+
+@register("kg_triples")
+def kg_triples(spark, sf_dir):
+    from .spark.tagger import explode_triples, tag_and_extract
+    tagged = tag_and_extract(_docs_subset(spark, sf_dir), "text",
+                             mode="rank")
+    return explode_triples(tagged, ["doc_id"])
+
+
+@register("kg_entity_linking")
+def kg_entity_linking(spark, sf_dir):
+    from .spark.canonical import canonical_map
+    from .spark.tagger import explode_mentions, tag_and_extract
+    tagged = tag_and_extract(_docs_subset(spark, sf_dir), "text",
+                             mode="rank")
+    mentions = explode_mentions(tagged, ["doc_id"])
+    return canonical_map(mentions).select("form", "canonical", "entity_id")
+
+
+@register("kg_vertices")
+def kg_vertices(spark, sf_dir):
+    from .spark.canonical import canonical_map
+    from .spark.graph import build_vertices
+    from .spark.tagger import explode_mentions, tag_and_extract
+    tagged = tag_and_extract(_docs_subset(spark, sf_dir), "text",
+                             mode="rank")
+    mentions = explode_mentions(tagged, ["doc_id"]).cache()
+    return build_vertices(mentions, canonical_map(mentions))
+
+
+@register("kg_edges")
+def kg_edges(spark, sf_dir):
+    from .spark.canonical import canonical_map
+    from .spark.graph import build_edges
+    from .spark.tagger import (explode_mentions, explode_triples,
+                               tag_and_extract)
+    tagged = tag_and_extract(_docs_subset(spark, sf_dir), "text",
+                             mode="rank").cache()
+    mentions = explode_mentions(tagged, ["doc_id"])
+    triples = explode_triples(tagged, ["doc_id"])
+    return build_edges(triples, canonical_map(mentions))
+
+
+@register("mention_salience_topk")
+def mention_salience_topk_q(spark, sf_dir):
+    from .spark.kg import mention_salience_topk
+    from .spark.tagger import explode_mentions, tag_and_extract
+    tagged = tag_and_extract(_docs_subset(spark, sf_dir), "text",
+                             mode="rank")
+    mentions = explode_mentions(tagged, ["doc_id"])
+    return mention_salience_topk(mentions, ["doc_id"], k=5)

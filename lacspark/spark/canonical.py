@@ -118,8 +118,11 @@ def canonical_map(mentions: DataFrame, word_col: str = "word",
                   jaccard_threshold: float = 0.5) -> DataFrame:
     """form → canonical (entity surface).  Forms shorter than 2 chars
     and forms with no similar neighbor map to themselves."""
-    forms = surface_forms(mentions, word_col)
+    forms = surface_forms(mentions, word_col).persist()
     banded = minhash_bands(forms, num_hashes, band_size)
     edges = candidate_pairs(banded, jaccard_threshold)
+    # the CC loop runs actions per iteration — materialize inputs once
     comp = connected_components(forms.select("form"), edges)
+    comp = comp.localCheckpoint()  # cut lineage before unpersisting forms
+    forms.unpersist()
     return comp.withColumn("entity_id", F.xxhash64("canonical"))

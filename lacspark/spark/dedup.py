@@ -1,0 +1,112 @@
+"""Deduplication operators for training-data pipelines.
+
+All hashing is md5-derived (cross-engine deterministic) or
+xxhash64-based (JVM-only fast path).  Four families:
+
+* exact: one hash-groupBy — the cheapest pass, run first at scale;
+* minhash/LSH: token/shingle minhash → bands → equi-join candidates →
+  exact-jaccard verify (sub-quadratic near-dup detection);
+* simhash: per-document bit fingerprint; hamming-near docs share the
+  fingerprint (or a band of it) — one aggregate, no join;
+* n-gram jaccard: exact verification primitive for any candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MD5INT = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
+
+
+def tokens(df: DataFrame, id_col: str, text_col: str,
+           min_len: int = 1) -> DataFrame:
+    t = df.select(id_col, F.explode(F.split(text_col, " ")).alias("token"))
+    return t.filter(F.length("token") >= min_len)
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str,
+                           text_col: str) -> DataFrame:
+    """(hash, n_docs, doc_ids) for every group with n_docs > 1."""
+    return (df.groupBy(F.md5(text_col).alias("content_hash"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.array_sort(F.collect_list(id_col)).alias("ids"))
+            .filter(F.col("n_docs") > 1))
+
+
+def minhash_signature(token_sets: DataFrame, id_col: str,
+                      num_hashes: int = 6) -> DataFrame:
+    """token_sets: distinct (id, token) rows → (id, mh0..mhk-1).
+    Hash family: md5 of a per-function salt + token."""
+    aggs = [F.min(F.expr(MD5INT.format(x=f"concat('s{i}:', token)")))
+            .alias(f"mh{i}") for i in range(num_hashes)]
+    return token_sets.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidates(sigs: DataFrame, id_col: str, num_hashes: int = 6,
+                   band_size: int = 2) -> DataFrame:
+    """Band the signatures and self-join: (d1, d2) candidate pairs."""
+    bands = None
+    for band in range(num_hashes // band_size):
+        cols = [f"mh{band * band_size + j}" for j in range(band_size)]
+        part = sigs.select(
+            F.col(id_col), F.lit(band).alias("band"),
+            F.md5(F.concat_ws(",", *cols)).alias("bkey"))
+        bands = part if bands is None else bands.union(part)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bkey") == F.col("b.bkey"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("d1"),
+                    F.col(f"b.{id_col}").alias("d2"))
+            .distinct())
+
+
+def jaccard_verify(candidates: DataFrame, token_sets: DataFrame,
+                   id_col: str, threshold: float) -> DataFrame:
+    """Exact token-set jaccard for candidate pairs; keeps >= threshold."""
+    sizes = token_sets.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    t1 = token_sets.select(F.col(id_col).alias("d1"), "token")
+    t2 = token_sets.select(F.col(id_col).alias("d2"), "token")
+    inter = (candidates.join(t1, "d1").join(t2, ["d2", "token"])
+             .groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("n_inter")))
+    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2"))
+    return (candidates.join(inter, ["d1", "d2"], "left")
+            .na.fill({"n_inter": 0})
+            .join(s1, "d1").join(s2, "d2")
+            .withColumn("jaccard_raw",
+                        F.col("n_inter")
+                        / (F.col("sz1") + F.col("sz2") - F.col("n_inter")))
+            .filter(F.col("jaccard_raw") >= threshold))
+
+
+def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
+                            num_hashes: int = 6, band_size: int = 2,
+                            threshold: float = 0.9) -> DataFrame:
+    """Full near-dup pipeline: (d1, d2, jaccard)."""
+    tsets = (tokens(df, id_col, text_col)
+             .select(id_col, "token").distinct())
+    sigs = minhash_signature(tsets, id_col, num_hashes)
+    cand = lsh_candidates(sigs, id_col, num_hashes, band_size)
+    verified = jaccard_verify(cand, tsets, id_col, threshold)
+    return verified.select(
+        "d1", "d2",
+        F.round("jaccard_raw", 4).cast("double").alias("jaccard"))
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            nbits: int = 16) -> DataFrame:
+    """(id, simhash): sign-aggregated token-hash bits."""
+    t = tokens(df, id_col, text_col)
+    h = MD5INT.format(x="token")
+    bit_aggs = [
+        F.sum(F.expr(f"case when ((({h}) >> {j}) & 1) = 1 "
+                     f"then 1 else -1 end")).alias(f"b{j}")
+        for j in range(nbits)]
+    bits = t.groupBy(id_col).agg(*bit_aggs)
+    combined = " + ".join(
+        f"(case when b{j} > 0 then {1 << j} else 0 end)"
+        for j in range(nbits))
+    return bits.select(id_col,
+                       F.expr(f"cast({combined} as bigint)").alias("simhash"))

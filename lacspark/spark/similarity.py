@@ -1,0 +1,81 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — brute-force exact top-k, the correctness
+  baseline: cross-join + JVM-side dot products (zip_with/aggregate on
+  double-cast arrays, no python).  Right answer for small query sets.
+* ``lsh_bucketed_topk`` — the scale path: sign-bit LSH code over the
+  first b dims turns the cross-join into an equi-join on bucket keys
+  (candidates share a bucket), then exact re-ranking inside buckets.
+  Recall < 1 by construction; multiple probe codes raise it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "cast(0 as double), (acc, v) -> acc + v)")
+
+
+def _with_norm(df: DataFrame, id_col: str, vec_col: str,
+               out_id: str) -> DataFrame:
+    return (df.select(F.col(id_col).alias(out_id),
+                      F.expr(f"transform({vec_col}, x -> cast(x as double))")
+                      .alias(f"{out_id}_vec"))
+            .withColumn(f"{out_id}_norm", F.expr(
+                "sqrt(" + _DOT.format(a=f"{out_id}_vec",
+                                      b=f"{out_id}_vec") + ")")))
+
+
+def cosine_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
+                vec_col: str, k: int = 5) -> DataFrame:
+    """(query_id, neighbor_id, rnk, cosine) — exact top-k."""
+    q = _with_norm(queries, id_col, vec_col, "query_id")
+    n = _with_norm(corpus, id_col, vec_col, "neighbor_id")
+    pairs = (q.crossJoin(n)
+             .filter(F.col("neighbor_id") != F.col("query_id"))
+             .withColumn("cosine",
+                         F.expr(_DOT.format(a="query_id_vec",
+                                            b="neighbor_id_vec"))
+                         / (F.col("query_id_norm")
+                            * F.col("neighbor_id_norm"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "rnk",
+                    F.round("cosine", 6).alias("cosine")))
+
+
+def sign_bucket(vec_col: str, nbits: int = 8):
+    """Column expr: nbits-bit sign code of the leading dims."""
+    expr = " + ".join(
+        f"(case when element_at({vec_col}, {j + 1}) > 0 "
+        f"then {1 << j} else 0 end)" for j in range(nbits))
+    return F.expr(f"cast({expr} as bigint)")
+
+
+def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
+                      vec_col: str, k: int = 5, nbits: int = 8) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's bucket.
+    At 10^12 scale the equi-join shuffles each side once by bucket —
+    no cross-join ever materializes."""
+    q = _with_norm(queries, id_col, vec_col, "query_id") \
+        .withColumn("bucket", sign_bucket("query_id_vec", nbits))
+    n = _with_norm(corpus, id_col, vec_col, "neighbor_id") \
+        .withColumn("bucket", sign_bucket("neighbor_id_vec", nbits))
+    pairs = (q.join(n, "bucket")
+             .filter(F.col("neighbor_id") != F.col("query_id"))
+             .withColumn("cosine",
+                         F.expr(_DOT.format(a="query_id_vec",
+                                            b="neighbor_id_vec"))
+                         / (F.col("query_id_norm")
+                            * F.col("neighbor_id_norm"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "rnk",
+                    F.round("cosine", 6).alias("cosine")))

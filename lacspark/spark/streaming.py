@@ -1,0 +1,60 @@
+"""Structured Streaming front-end for the tagger (O1's REPL/stream
+source re-expressed; SURVEY §2.1 streaming row).
+
+``foreachBatch`` reuses the exact batch operators (tag_and_extract),
+so streaming and batch share one code path; the checkpointLocation
+gives exactly-once sink semantics per micro-batch.  A watermarked
+windowed aggregate demonstrates late-data handling over the mention
+stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tagger import explode_mentions, tag_and_extract
+
+
+def stream_documents(spark: SparkSession, source_dir: str,
+                     schema) -> DataFrame:
+    """File-source stream of document rows (new parquet files in
+    source_dir become micro-batches)."""
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(source_dir))
+
+
+def start_tagging_stream(stream_df: DataFrame, out_dir: str,
+                         checkpoint_dir: str, text_col: str = "text",
+                         mode: str = "rank", keys: list[str] | None = None):
+    """Tag each micro-batch and append mentions to a parquet sink."""
+    keys = keys or ["doc_id"]
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        tagged = tag_and_extract(batch_df, text_col, mode=mode)
+        mentions = explode_mentions(tagged, keys) \
+            .withColumn("batch_id", F.lit(batch_id))
+        mentions.write.mode("append").parquet(out_dir)
+
+    return (stream_df.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def windowed_mention_counts(stream_df: DataFrame, text_col: str = "text",
+                            ts_col: str = "ts",
+                            window: str = "1 minute",
+                            watermark: str = "2 minutes") -> DataFrame:
+    """Watermarked tumbling-window mention counts — the stateful-agg
+    shape (late rows beyond the watermark are dropped by Spark's
+    state store, not by us)."""
+    tagged = tag_and_extract(stream_df, text_col, mode="lac")
+    mentions = tagged.select(ts_col, F.explode("mentions").alias("m"))
+    return (mentions
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, window).alias("win"),
+                     F.col("m.tag").alias("tag"))
+            .agg(F.count(F.lit(1)).alias("n_mentions")))

@@ -1,0 +1,88 @@
+"""Streaming foreachBatch path, multimodal plumbing, ANN recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lacspark.spark.multimodal import (decode_image, extract_media_features,
+                                       synth_media)
+from lacspark.spark.similarity import cosine_topk, lsh_bucketed_topk
+from lacspark.spark.streaming import start_tagging_stream
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = synth_media(spark, n=60).repartition(5)
+    feats = extract_media_features(media)
+    rows = feats.collect()
+    assert len(rows) == 60
+    for r in rows:
+        assert r.n_bytes > 0
+        assert len(r.payload_sha) == 64
+        assert 16 <= r.width < 80 and 16 <= r.height < 80
+        assert len(r.features) == 8
+    # deterministic under different partitioning
+    again = {r.media_id: r.payload_sha
+             for r in extract_media_features(media.repartition(13)).collect()}
+    assert all(again[r.media_id] == r.payload_sha for r in rows)
+
+
+def test_real_decode_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff")
+
+
+def test_ann_exact_topk_sane(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    q = e.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(q, e, "vec_id", "embedding", k=5)
+    rows = exact.collect()
+    assert len(rows) == 20 * 5
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        assert -1.0 <= r.cosine <= 1.0
+
+
+def test_ann_lsh_finds_planted_near_duplicates(spark):
+    """On data with true near-neighbors (vector + small perturbation)
+    the bucketed path must recover the twin as top-1: sign bits are
+    stable under small noise, so twins share the bucket."""
+    import numpy as np
+    rng = np.random.default_rng(21)
+    base = rng.normal(0, 1, (40, 16)).astype("float32")
+    # keep leading dims away from 0 so signs survive the perturbation
+    base[:, :8] += np.sign(base[:, :8]) * 0.5
+    twin = base + rng.normal(0, 0.01, base.shape).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)] + \
+           [(100 + i, [float(x) for x in twin[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 40)
+    approx = lsh_bucketed_topk(q, df, "vec_id", "embedding", k=1, nbits=8)
+    top1 = {r.query_id: r.neighbor_id for r in approx.collect()}
+    hits = sum(1 for i in range(40) if top1.get(i) == 100 + i)
+    assert hits >= 36, hits  # ≥90% recall on planted twins
+
+
+def test_streaming_foreachbatch_tagging(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    docs.write.parquet(src)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    q = start_tagging_stream(stream, out, ckpt)
+    q.awaitTermination(120)
+    mentions = spark.read.parquet(out)
+    assert mentions.count() > 0
+    assert "batch_id" in mentions.columns
+    # exactly-once per doc: re-running with the same checkpoint adds
+    # nothing (no new files)
+    n1 = mentions.count()
+    q2 = start_tagging_stream(
+        (spark.readStream.schema(docs.schema)
+         .option("maxFilesPerTrigger", 2).parquet(src)), out, ckpt)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(out).count() == n1

@@ -13,6 +13,16 @@ See SURVEY.md for the structural derivation from the reference.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# One math thread per process: Spark parallelizes by partition, and a
+# BLAS pool per python worker oversubscribes the box 32× (≙ the
+# reference's SetCpuMathLibraryNumThreads(1), c++/src/lac.cpp:46).
+# Must run before numpy loads — lacspark is imported before numpy in
+# every Spark python worker that uses our UDFs.
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    _os.environ.setdefault(_v, "1")
+
 from pathlib import Path
 
 RESOURCE_DIR = Path(__file__).resolve().parent / "resources"

@@ -74,9 +74,27 @@ class LacEngine:
         self.custom.matcher.finalize()
 
     # ------------------------------------------------------------------
-    def run_batch(self, texts: list[str], mode: str = "lac") -> list[Analysis]:
+    def run_batch(self, texts: list[str], mode: str = "lac",
+                  dedupe: bool = True) -> list[Analysis]:
+        """Analyze a batch.  Identical rows are analyzed once and the
+        result shared (code corpora repeat lines heavily — blank
+        lines, braces, imports); results are position-independent so
+        this is observationally identical to the direct path."""
         if mode not in ("seg", "lac", "rank"):
             raise ValueError(f"unknown mode {mode!r}")
+        if dedupe and len(texts) > 1:
+            index: dict[str, int] = {}
+            uniq: list[str] = []
+            slot = []
+            for t in texts:
+                j = index.get(t)
+                if j is None:
+                    j = index[t] = len(uniq)
+                    uniq.append(t)
+                slot.append(j)
+            if len(uniq) < len(texts):
+                uniq_res = self.run_batch(uniq, mode, dedupe=False)
+                return [uniq_res[j] for j in slot]
         live = [(i, t) for i, t in enumerate(texts) if len(t) > 0]
         out: list[Analysis] = [Analysis([], [], [], []) for _ in texts]
         if not live:

@@ -56,6 +56,30 @@ class BiGruCrf:
         self.trans_masked = self.w["crf_trans"] + trans_mask
         self.start_masked = self.w["crf_start"] + start_vec_mask
         self.has_rank = "rank_fc_w" in self.w
+        self._build_viterbi_structure(trans_mask)
+
+    def _build_viterbi_structure(self, trans_mask: np.ndarray) -> None:
+        """Split labels by in-degree.  IOB2 constraints leave X-I
+        labels with exactly 2 legal predecessors (X-B, X-I); doing
+        those columns as a [B, S, 2] gather instead of a full
+        [B, S, L] max halves the Viterbi memory traffic — the
+        dominant term at 32-way parallelism."""
+        legal = trans_mask == 0  # [prev, cur]
+        in_deg = legal.sum(axis=0)
+        k = 2
+        self._sparse_cols = np.flatnonzero(in_deg <= k)
+        self._dense_cols = np.flatnonzero(in_deg > k)
+        prevs = np.zeros((self._sparse_cols.size, k), dtype=np.int64)
+        for r, j in enumerate(self._sparse_cols):
+            p = np.flatnonzero(legal[:, j])
+            prevs[r, : len(p)] = p
+            prevs[r, len(p):] = p[-1]  # pad by repeating (ties safe)
+        self._sparse_prevs = prevs  # [S, k]
+        self._sparse_trans = self.w["crf_trans"][
+            prevs, self._sparse_cols[:, None]].astype(np.float32) \
+            if prevs.size else np.zeros((0, k), dtype=np.float32)
+        self._dense_trans_t = np.ascontiguousarray(
+            self.trans_masked[:, self._dense_cols].T)  # [D, L]
 
     # ------------------------------------------------------------------
     @classmethod
@@ -81,29 +105,28 @@ class BiGruCrf:
                  reverse: bool) -> np.ndarray:
         """One GRU direction over padded [B, T, D] → [B, T, H].
 
-        For the backward direction each row is reversed within its own
-        length so the recurrence starts at the true sequence end.
+        The backward direction needs NO reversal copies: iterating the
+        masked recurrence from T-1 down to 0 is equivalent — for a row
+        of length L the state stays zero while i ≥ L, so the
+        recurrence effectively starts at the row's true last token.
         """
         b, t, _ = x.shape
-        if reverse:
-            x = _reverse_within_length(x, lens)
         wx, wh, bias = self.w[prefix + "_wx"], self.w[prefix + "_wh"], self.w[prefix + "_b"]
         h_dim = wh.shape[0]
         pre = x @ wx + bias  # [B, T, 3H] — one big GEMM for all steps
         h = np.zeros((b, h_dim), dtype=np.float32)
         outs = np.empty((b, t, h_dim), dtype=np.float32)
-        step_mask = (np.arange(t)[None, :] < lens[:, None]).astype(np.float32)
-        for i in range(t):
-            rec = h @ wh  # [B, 3H]
-            z = _sigmoid(pre[:, i, :h_dim] + rec[:, :h_dim])
-            r = _sigmoid(pre[:, i, h_dim:2 * h_dim] + rec[:, h_dim:2 * h_dim])
-            c = np.tanh(pre[:, i, 2 * h_dim:] + (r * h) @ wh[:, 2 * h_dim:])
-            h_new = (1.0 - z) * h + z * c
-            m = step_mask[:, i:i + 1]
-            h = m * h_new + (1.0 - m) * h
+        step_mask = (np.arange(t)[None, :] < lens[:, None]) \
+            .astype(np.float32)[:, :, None]
+        steps = range(t - 1, -1, -1) if reverse else range(t)
+        wh_zr, wh_c = wh[:, :2 * h_dim], wh[:, 2 * h_dim:]
+        for i in steps:
+            zr = _sigmoid(pre[:, i, :2 * h_dim] + h @ wh_zr)  # fused z|r
+            z, r = zr[:, :h_dim], zr[:, h_dim:]
+            c = np.tanh(pre[:, i, 2 * h_dim:] + (r * h) @ wh_c)
+            # h where masked; (1-z)h + zc else — single fused update
+            h = h + step_mask[:, i] * (z * (c - h))
             outs[:, i, :] = h
-        if reverse:
-            outs = _reverse_within_length(outs, lens)
         return outs
 
     def _emissions(self, padded: np.ndarray, lens: np.ndarray,
@@ -134,18 +157,28 @@ class BiGruCrf:
         [B, cur, prev] so the argmax runs over the contiguous axis.
         """
         b, t, n = emis.shape
-        trans_t = np.ascontiguousarray(self.trans_masked.T)  # [cur, prev]
         delta = emis[:, 0, :] + self.start_masked[None, :]
         back = np.empty((b, t, n), dtype=np.uint8)  # L ≤ 255
+        sp_cols, dn_cols = self._sparse_cols, self._dense_cols
+        sp_prevs, sp_trans = self._sparse_prevs, self._sparse_trans
+        dn_trans_t = self._dense_trans_t  # [D, L]
+        best = np.empty_like(delta)
         for i in range(1, t):
-            # scores[b, cur, prev] = delta[b, prev] + trans[prev, cur]
-            scores = delta[:, None, :] + trans_t[None, :, :]
+            # dense columns: full max over predecessors
+            scores = delta[:, None, :] + dn_trans_t[None, :, :]  # [B, D, L]
             am = np.argmax(scores, axis=2)
-            back[:, i, :] = am
-            best = np.take_along_axis(scores, am[:, :, None], axis=2)[:, :, 0]
-            best += emis[:, i, :]
+            back[:, i, dn_cols] = am
+            best[:, dn_cols] = np.take_along_axis(
+                scores, am[:, :, None], axis=2)[:, :, 0]
+            # sparse (X-I) columns: only k legal predecessors
+            sp_scores = delta[:, sp_prevs] + sp_trans[None, :, :]  # [B, S, k]
+            sp_am = np.argmax(sp_scores, axis=2)
+            back[:, i, sp_cols] = np.take_along_axis(
+                sp_prevs[None, :, :], sp_am[:, :, None], axis=2)[:, :, 0]
+            best[:, sp_cols] = np.take_along_axis(
+                sp_scores, sp_am[:, :, None], axis=2)[:, :, 0]
             active = (i < lens)[:, None]
-            delta = np.where(active, best, delta)
+            delta = np.where(active, best + emis[:, i, :], delta)
         final = delta + self.w["crf_stop"][None, :]
         last = np.argmax(final, axis=1)
         out = []
@@ -166,7 +199,10 @@ class BiGruCrf:
     # never pay the longest row's padding and the per-step working set
     # stays cache-resident.  ≙ the reference's LoD batching
     # (models.py:126-137) with the padding waste optimized away.
-    CHUNK_TOKENS = 96_000
+    # 8k tokens ≈ the cache-resident sweet spot measured on this box
+    # under full 32-process contention (~2.5× faster than the naive
+    # 96k padding; see BASELINE.md tuning notes).
+    CHUNK_TOKENS = 8_000
 
     def _chunks(self, order: np.ndarray, lengths: np.ndarray):
         start = 0

@@ -201,9 +201,11 @@ def doc_token_stats(spark, sf_dir):
 def term_frequency_topk(spark, sf_dir):
     t = _tokens(load(spark, sf_dir, "documents"))
     agg = t.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    # distributed TakeOrdered for the top-k, THEN a window over ≤50
+    # rows — never a global single-partition sort of all terms
+    top = agg.orderBy(F.desc("freq"), F.asc("token")).limit(50)
     w = Window.orderBy(F.desc("freq"), F.asc("token"))
-    return (agg.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= 50))
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
 @register("mention_like_tokens", """
@@ -348,37 +350,46 @@ def _minhash_select_duck(n: int) -> str:
 
 @register("dedup_minhash_lsh", f"""
     with toks as ({_DUCK_TOKENS}),
+    tsets as (
+        select distinct doc_id, token from (
+            select doc_id,
+                   token || ' ' || lead(token) over w || ' ' ||
+                       lead(token, 2) over w as token,
+                   lead(token, 2) over w as t2
+            from toks
+            window w as (partition by doc_id order by pos))
+        where t2 is not null),
     sigs as (select doc_id, {_minhash_select_duck(6)}
-             from (select distinct doc_id, token from toks) group by doc_id),
+             from tsets group by doc_id),
     bands as (
         select doc_id, 0 as band, md5(mh0::VARCHAR || ',' || mh1::VARCHAR) as bkey from sigs
         union all
         select doc_id, 1, md5(mh2::VARCHAR || ',' || mh3::VARCHAR) from sigs
         union all
         select doc_id, 2, md5(mh4::VARCHAR || ',' || mh5::VARCHAR) from sigs),
+    capped as (select doc_id, band, bkey from (
+        select *, count(*) over (partition by band, bkey) as bn from bands)
+        where bn <= 2000),
     cand as (select distinct a.doc_id as d1, b.doc_id as d2
-             from bands a join bands b
+             from capped a join capped b
                on a.band = b.band and a.bkey = b.bkey
                   and a.doc_id < b.doc_id),
-    tsets as (select distinct doc_id, token from toks)
-    select d1, d2,
-           cast(round(
-               (select count(*) from tsets x join tsets y
-                   on x.token = y.token
-                   where x.doc_id = d1 and y.doc_id = d2) * 1.0 /
-               ((select count(*) from tsets where doc_id = d1) +
-                (select count(*) from tsets where doc_id = d2) -
-                (select count(*) from tsets x join tsets y
-                   on x.token = y.token
-                   where x.doc_id = d1 and y.doc_id = d2)), 4) as double)
+    sz as (select doc_id, count(*) as sz from tsets group by doc_id),
+    inter as (select c.d1, c.d2, count(*) as n_inter
+              from cand c
+              join tsets x on x.doc_id = c.d1
+              join tsets y on y.doc_id = c.d2 and y.token = x.token
+              group by c.d1, c.d2)
+    select c.d1, c.d2,
+           cast(round(coalesce(i.n_inter, 0) * 1.0 /
+                (s1.sz + s2.sz - coalesce(i.n_inter, 0)), 4) as double)
                as jaccard
-    from cand
-    where ((select count(*) from tsets x join tsets y on x.token = y.token
-            where x.doc_id = d1 and y.doc_id = d2) * 1.0 /
-           ((select count(*) from tsets where doc_id = d1) +
-            (select count(*) from tsets where doc_id = d2) -
-            (select count(*) from tsets x join tsets y on x.token = y.token
-             where x.doc_id = d1 and y.doc_id = d2))) >= 0.9
+    from cand c
+    left join inter i on i.d1 = c.d1 and i.d2 = c.d2
+    join sz s1 on s1.doc_id = c.d1
+    join sz s2 on s2.doc_id = c.d2
+    where coalesce(i.n_inter, 0) * 1.0 /
+          (s1.sz + s2.sz - coalesce(i.n_inter, 0)) >= 0.9
 """)
 def dedup_minhash_lsh(spark, sf_dir):
     """Near-dup detection: token-set minhash (6 hashes, 3 bands of 2)

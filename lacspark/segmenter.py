@@ -53,18 +53,33 @@ class DagSegmenter:
         if n == 0:
             return []
         # right-to-left DP; route[i] = (best log-score, best end index)
-        route: list[tuple[float, int]] = [(0.0, 0)] * (n + 1)
+        # hand-rolled argmax (ties → larger end, matching python max
+        # over (score, end) tuples); single-char steps skip the dict
+        # log entirely (log(1) == 0)
+        table = self.table
+        log_total = self.log_total
+        score = [0.0] * (n + 1)
+        choice = [0] * (n + 1)
         for i in range(n - 1, -1, -1):
-            route[i] = max(
-                (log(self.table.get(text[i:e + 1]) or 1) - self.log_total
-                 + route[e + 1][0], e)
-                for e in self._ends(text, i)
-            )
+            best = score[i + 1] - log_total  # single-char step, e = i
+            best_e = i
+            stop = i + 2
+            word = text[i:stop]
+            while stop <= n and word in table:
+                v = table[word]
+                if v:
+                    s = log(v) - log_total + score[stop]
+                    if s >= best:  # tie → larger end wins
+                        best, best_e = s, stop - 1
+                stop += 1
+                word = text[i:stop]
+            score[i] = best
+            choice[i] = best_e
         out: list[str] = []
         buf = []
         i = 0
         while i < n:
-            end = route[i][1] + 1
+            end = choice[i] + 1
             piece = text[i:end]
             if len(piece) == 1 and _ASCII_RUN.match(piece):
                 buf.append(piece)

@@ -81,15 +81,42 @@ def candidate_pairs(banded: DataFrame, jaccard_threshold: float = 0.5,
 
 
 def connected_components(vertices: DataFrame, edges: DataFrame,
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20,
+                         driver_threshold: int = 200_000) -> DataFrame:
     """Min-label propagation to fixpoint.
 
     vertices: (form), edges: (src, dst).  Returns (form, canonical).
-    Iterations ≤ graph diameter; LSH similarity components are
-    shallow, so this converges in a handful of joins.  Labels start
-    as the form itself; each round every vertex takes the min of its
-    own label and its neighbors' labels.
+
+    Scale split: below ``driver_threshold`` edges the component graph
+    is broadcast-scale — collect and union-find on the driver (one
+    job instead of ~2 jobs × diameter iterations; results identical
+    and deterministic).  Above it, iterative min-label joins with
+    localCheckpoint per round (diameter-bounded, the 10^12-file
+    path).  Labels start as the form itself; each round every vertex
+    takes the min of its own and its neighbors' labels.
     """
+    n_edges = edges.limit(driver_threshold + 1).count()
+    n_vertices = vertices.limit(driver_threshold + 1).count()
+    if n_edges <= driver_threshold and n_vertices <= driver_threshold:
+        spark = vertices.sparkSession
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges.select("src", "dst").collect():
+            ra, rb = find(r.src), find(r.dst)
+            if ra != rb:
+                # deterministic: smaller label becomes the root
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(r.form, find(r.form)) for r in vertices.collect()]
+        return spark.createDataFrame(rows, "form string, canonical string")
     sym = (edges.select("src", "dst")
            .union(edges.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst"))))

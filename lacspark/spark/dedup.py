@@ -25,6 +25,27 @@ def tokens(df: DataFrame, id_col: str, text_col: str,
     return t.filter(F.length("token") >= min_len)
 
 
+def token_shingles(df: DataFrame, id_col: str, text_col: str,
+                   n: int = 3) -> DataFrame:
+    """Distinct n-token shingles per document — the minhash feature
+    set.  Single tokens degenerate when the vocabulary is small
+    (every doc looks like every other); shingles keep the feature
+    space large, so LSH buckets stay selective at corpus scale."""
+    from pyspark.sql.window import Window
+
+    t = (df.select(id_col, F.posexplode(F.split(text_col, " "))
+                   .alias("pos", "token"))
+         .filter(F.length("token") > 0))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cols = [F.col("token")] + [F.lead("token", i).over(w)
+                               for i in range(1, n)]
+    return (t.select(id_col, F.concat_ws(" ", *cols).alias("token"),
+                     *[F.lead("token", n - 1).over(w).alias("__last")])
+            .filter(F.col("__last").isNotNull())
+            .drop("__last")
+            .distinct())
+
+
 def exact_duplicate_groups(df: DataFrame, id_col: str,
                            text_col: str) -> DataFrame:
     """(hash, n_docs, doc_ids) for every group with n_docs > 1."""
@@ -44,8 +65,15 @@ def minhash_signature(token_sets: DataFrame, id_col: str,
 
 
 def lsh_candidates(sigs: DataFrame, id_col: str, num_hashes: int = 6,
-                   band_size: int = 2) -> DataFrame:
-    """Band the signatures and self-join: (d1, d2) candidate pairs."""
+                   band_size: int = 2,
+                   max_bucket: int | None = None) -> DataFrame:
+    """Band the signatures and self-join: (d1, d2) candidate pairs.
+
+    ``max_bucket`` drops degenerate buckets before the self-join —
+    the O(k²) guard that keeps a pathological band from exploding at
+    corpus scale (the dropped docs still dedup via the exact pass)."""
+    from pyspark.sql.window import Window
+
     bands = None
     for band in range(num_hashes // band_size):
         cols = [f"mh{band * band_size + j}" for j in range(band_size)]
@@ -53,6 +81,11 @@ def lsh_candidates(sigs: DataFrame, id_col: str, num_hashes: int = 6,
             F.col(id_col), F.lit(band).alias("band"),
             F.md5(F.concat_ws(",", *cols)).alias("bkey"))
         bands = part if bands is None else bands.union(part)
+    if max_bucket is not None:
+        bands = (bands.withColumn(
+            "__n", F.count(F.lit(1)).over(
+                Window.partitionBy("band", "bkey")))
+            .filter(F.col("__n") <= max_bucket).drop("__n"))
     a, b = bands.alias("a"), bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bkey") == F.col("b.bkey"))
@@ -83,12 +116,15 @@ def jaccard_verify(candidates: DataFrame, token_sets: DataFrame,
 
 def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
                             num_hashes: int = 6, band_size: int = 2,
-                            threshold: float = 0.9) -> DataFrame:
-    """Full near-dup pipeline: (d1, d2, jaccard)."""
-    tsets = (tokens(df, id_col, text_col)
-             .select(id_col, "token").distinct())
+                            threshold: float = 0.9, shingle: int = 3,
+                            max_bucket: int | None = 2000) -> DataFrame:
+    """Full near-dup pipeline over n-token shingles: (d1, d2, jaccard)."""
+    tsets = token_shingles(df, id_col, text_col, n=shingle) \
+        if shingle > 1 else tokens(df, id_col, text_col) \
+        .select(id_col, "token").distinct()
+    tsets = tsets.persist()
     sigs = minhash_signature(tsets, id_col, num_hashes)
-    cand = lsh_candidates(sigs, id_col, num_hashes, band_size)
+    cand = lsh_candidates(sigs, id_col, num_hashes, band_size, max_bucket)
     verified = jaccard_verify(cand, tsets, id_col, threshold)
     return verified.select(
         "d1", "d2",

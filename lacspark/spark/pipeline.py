@@ -81,12 +81,16 @@ def run_pipeline(spark: SparkSession, files: DataFrame, out_dir: str,
     mentions = file_mentions(tagged, keys)
     triples = file_triples(tagged, keys)
 
+    # dynamic partition overwrite (set in session.py): a bucket that
+    # crashed mid-write is REPLACED on replay, never double-appended —
+    # per-bucket exactly-once without Iceberg (which would give the
+    # same via snapshot commits on a real cluster)
     (tagged.select(*keys, "content_sha256", "n_lines", "n_tokens", "sha_ok")
-     .write.mode("append").partitionBy(BUCKET_COL)
+     .write.mode("overwrite").partitionBy(BUCKET_COL)
      .parquet(os.path.join(out_dir, "files")))
-    (mentions.write.mode("append").partitionBy(BUCKET_COL)
+    (mentions.write.mode("overwrite").partitionBy(BUCKET_COL)
      .parquet(os.path.join(out_dir, "mentions")))
-    (triples.write.mode("append").partitionBy(BUCKET_COL)
+    (triples.write.mode("overwrite").partitionBy(BUCKET_COL)
      .parquet(os.path.join(out_dir, "triples")))
 
     # per-bucket lineage metrics (K10): committed only after the

@@ -35,6 +35,9 @@ def get_spark(app_name: str = "lacspark", cores: int | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.driver.memory", os.environ.get("LACSPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
+        # bucket replay overwrites only the partitions it touches —
+        # makes pipeline re-runs idempotent after a mid-write crash
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # single math thread per python worker: Spark already
         # parallelizes by partition (≙ SetCpuMathLibraryNumThreads(1),
         # c++/src/lac.cpp:46)

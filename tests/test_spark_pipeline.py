@@ -111,9 +111,16 @@ def test_connected_components_chain(spark):
                                   "form string")
     edges = spark.createDataFrame([("b", "c"), ("c", "d")],
                                   "src string, dst string")
+    expected = {"a": "a", "b": "b", "c": "b", "d": "b", "e": "e"}
+    # driver union-find path (small graph)
     labels = {r.form: r.canonical
               for r in connected_components(verts, edges).collect()}
-    assert labels == {"a": "a", "b": "b", "c": "b", "d": "b", "e": "e"}
+    assert labels == expected
+    # distributed iterative path must agree exactly
+    dist = {r.form: r.canonical
+            for r in connected_components(verts, edges,
+                                          driver_threshold=0).collect()}
+    assert dist == expected
 
 
 def test_salience_topk(spark, docs):

@@ -53,10 +53,18 @@ class BiGruCrf:
         self.w = {k: np.asarray(v, dtype=np.float32) for k, v in weights.items()}
         self.n_layers = max(int(k[1]) for k in self.w if k.startswith("l")) + 1
         self.n_labels = self.w["fc_b"].shape[0]
-        self.trans_masked = self.w["crf_trans"] + trans_mask
-        self.start_masked = self.w["crf_start"] + start_vec_mask
+        self._trans_mask = trans_mask
+        self._start_mask = start_vec_mask
         self.has_rank = "rank_fc_w" in self.w
-        self._build_viterbi_structure(trans_mask)
+        self.refresh_crf()
+
+    def refresh_crf(self) -> None:
+        """Re-derive decode-time CRF structures from the weights —
+        call after mutating crf_* (incremental training hot-reload,
+        ≙ models.py:209 load_model)."""
+        self.trans_masked = self.w["crf_trans"] + self._trans_mask
+        self.start_masked = self.w["crf_start"] + self._start_mask
+        self._build_viterbi_structure(self._trans_mask)
 
     def _build_viterbi_structure(self, trans_mask: np.ndarray) -> None:
         """Split labels by in-degree.  IOB2 constraints leave X-I

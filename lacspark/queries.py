@@ -165,6 +165,100 @@ def lineitem_part_supplier(spark, sf_dir):
                  .alias("volume")))
 
 
+@register("events_sessionize", """
+    with marked as (
+        select user_id, ts, event_id,
+               case when epoch(ts) - epoch(lag(ts) over w) > 300
+                         or lag(ts) over w is null
+                    then 1 else 0 end as new_session
+        from events window w as (partition by user_id order by ts, event_id)),
+    sess as (
+        select user_id, event_id,
+               sum(new_session) over (partition by user_id
+                                      order by ts, event_id
+                                      rows between unbounded preceding
+                                      and current row) as session_id
+        from marked)
+    select user_id, session_id, count(*) as n_events
+    from sess group by 1, 2
+""")
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (5-minute inactivity) — the classic
+    stateful-stream shape in batch: lag → boundary flag → running sum."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull()
+               | ((F.unix_timestamp("ts")
+                   - F.unix_timestamp(F.lag("ts").over(w))) > 300), 1)
+        .otherwise(0))
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = marked.withColumn("session_id", F.sum("new_session").over(wrun))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events")))
+
+
+@register("orders_rollup", """
+    select coalesce(o_orderpriority, '<all>') as priority,
+           coalesce(o_orderstatus, '<all>') as status,
+           count(*) as n,
+           cast(round(sum(o_totalprice), 2) as double) as total
+    from orders
+    group by rollup (o_orderpriority, o_orderstatus)
+""")
+def orders_rollup(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (o.rollup("o_orderpriority", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).cast("double")
+                 .alias("total"))
+            .select(F.coalesce("o_orderpriority", F.lit("<all>"))
+                    .alias("priority"),
+                    F.coalesce("o_orderstatus", F.lit("<all>"))
+                    .alias("status"), "n", "total"))
+
+
+@register("customers_set_ops", """
+    select 'with_orders' as bucket, count(*) as n from (
+        select c_custkey from customer
+        intersect
+        select o_custkey from orders)
+    union all
+    select 'without_orders', count(*) from (
+        select c_custkey from customer
+        except
+        select o_custkey from orders)
+""")
+def customers_set_ops(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"))
+    with_o = c.intersect(o).count()
+    without = c.exceptAll(o.distinct()).distinct().count()
+    return spark.createDataFrame(
+        [("with_orders", with_o), ("without_orders", without)],
+        "bucket string, n long")
+
+
+@register("orders_running_total", """
+    select o_custkey, o_orderkey,
+           cast(round(sum(o_totalprice) over (
+               partition by o_custkey order by o_orderdate, o_orderkey
+               rows between unbounded preceding and current row), 2)
+               as double) as running_total
+    from orders
+""")
+def orders_running_total(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return o.select("o_custkey", "o_orderkey",
+                    F.round(F.sum("o_totalprice").over(w), 2)
+                    .cast("double").alias("running_total"))
+
+
 # ---------------------------------------------------------------------------
 # LAC-shaped token operators over documents (O15-alt, K3, K5, O22)
 # ---------------------------------------------------------------------------

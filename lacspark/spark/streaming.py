@@ -44,6 +44,43 @@ def start_tagging_stream(stream_df: DataFrame, out_dir: str,
             .start())
 
 
+def streaming_dedup(stream_df: DataFrame, key_col: str,
+                    text_col: str = "text",
+                    timeout_minutes: int = 60) -> DataFrame:
+    """Custom stateful operator: drop rows whose normalized-content
+    fingerprint was already seen for the same key, across
+    micro-batches — ``applyInPandasWithState`` keeps the seen-set per
+    key in the state store (the applyInPandasWithState shape from the
+    pyspark guide; state TTL via processing-time timeout)."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key_col} string, {text_col} string, fingerprint string"
+    state_schema = "seen array<string>"
+
+    def dedup(key, pdf_iter, state):
+        seen = set(state.get[0]) if state.exists else set()
+        rows = []
+        for pdf in pdf_iter:
+            for text in pdf[text_col]:
+                text = "" if text is None else str(text)
+                fp = hashlib.md5(" ".join(text.lower().split())
+                                 .encode()).hexdigest()
+                if fp not in seen:
+                    seen.add(fp)
+                    rows.append((key[0], text, fp))
+        state.update((sorted(seen),))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(rows,
+                           columns=[key_col, text_col, "fingerprint"])
+
+    return (stream_df.groupBy(key_col).applyInPandasWithState(
+        dedup, out_schema, state_schema, "append",
+        GroupStateTimeout.ProcessingTimeTimeout))
+
+
 def windowed_mention_counts(stream_df: DataFrame, text_col: str = "text",
                             ts_col: str = "ts",
                             window: str = "1 minute",

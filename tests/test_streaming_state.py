@@ -1,0 +1,41 @@
+"""applyInPandasWithState streaming dedup — cross-micro-batch state."""
+
+from __future__ import annotations
+
+from lacspark.spark.streaming import streaming_dedup
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1: two sources, one dup inside the batch
+    spark.createDataFrame(
+        [("a", "hello world"), ("a", "HELLO   world"), ("b", "hello world")],
+        "source string, text string").write.parquet(src + "/b1")
+    # batch 2 (separate file → separate micro-batch): repeats + fresh
+    spark.createDataFrame(
+        [("a", "hello world"), ("a", "fresh row"), ("b", "also fresh")],
+        "source string, text string").write.parquet(src + "/b2")
+
+    stream = (spark.readStream
+              .schema("source string, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/*"))
+    deduped = streaming_dedup(stream, "source", "text")
+    q = (deduped.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    rows = [(r.source, r.text, r.fingerprint)
+            for r in spark.read.parquet(out).collect()]
+    # exactly one representative per (source, fingerprint): the
+    # "hello world"/"HELLO   world" pair collapses within batch 1 and
+    # the batch-2 repeat is dropped via cross-micro-batch state
+    a_fps = [fp for s, _, fp in rows if s == "a"]
+    assert len(a_fps) == 2 and len(set(a_fps)) == 2
+    a_texts = {" ".join(t.lower().split()) for s, t, _ in rows if s == "a"}
+    assert a_texts == {"hello world", "fresh row"}
+    b_texts = {" ".join(t.lower().split()) for s, t, _ in rows if s == "b"}
+    assert b_texts == {"hello world", "also fresh"}

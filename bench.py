@@ -62,10 +62,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict = {"cpus": CPUS}
 
+    # run the headline twice: first pass pays JVM/python-worker/page
+    # cache warmup (and this VM shows host-level CPU steal); the
+    # steady-state number is the comparable one.  Both reported.
+    t0 = time.time()
+    n_triples, kg_stats = kg_pipeline_bench(spark, SF_DIR)
+    cold_sec = time.time() - t0
     t0 = time.time()
     n_triples, kg_stats = kg_pipeline_bench(spark, SF_DIR)
     kg_sec = time.time() - t0
     timings["kg_pipeline"] = round(kg_sec, 3)
+    extra["kg_pipeline_cold_sec"] = round(cold_sec, 3)
     extra.update(kg_stats)
     extra["triples_per_sec"] = round(n_triples / kg_sec, 1)
     extra["docs_per_sec"] = round(kg_stats["n_docs"] / kg_sec, 1)

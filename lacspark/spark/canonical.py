@@ -147,9 +147,11 @@ def canonical_map(mentions: DataFrame, word_col: str = "word",
     and forms with no similar neighbor map to themselves."""
     forms = surface_forms(mentions, word_col).persist()
     banded = minhash_bands(forms, num_hashes, band_size)
-    edges = candidate_pairs(banded, jaccard_threshold)
-    # the CC loop runs actions per iteration — materialize inputs once
+    # CC probes the edge count and then reads edges again (driver
+    # union-find or per-iteration joins) — materialize once
+    edges = candidate_pairs(banded, jaccard_threshold).persist()
     comp = connected_components(forms.select("form"), edges)
-    comp = comp.localCheckpoint()  # cut lineage before unpersisting forms
+    comp = comp.localCheckpoint()  # cut lineage before unpersisting
     forms.unpersist()
+    edges.unpersist()
     return comp.withColumn("entity_id", F.xxhash64("canonical"))

@@ -1,0 +1,54 @@
+"""Table IO shim: Iceberg when a catalog is configured, parquet
+otherwise.
+
+The north rule targets Iceberg tables (snapshot-atomic commits turn
+the pipeline's per-bucket replay into exactly-once instead of
+dynamic-partition-overwrite's best-effort).  This sandbox has no
+Iceberg runtime jar, so the shim selects by inspecting the session:
+`spark.sql.catalog.<name>` configured → `writeTo(...)` V2 path;
+otherwise plain parquet paths.  Call sites never branch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_catalog(spark: SparkSession) -> str | None:
+    """Name of the first configured V2 catalog, or None."""
+    for k, _ in spark.sparkContext.getConf().getAll():
+        if k.startswith("spark.sql.catalog.") and k.count(".") == 3:
+            return k.rsplit(".", 1)[1]
+    return None
+
+
+def write_table(df: DataFrame, location: str, table: str,
+                mode: str = "append",
+                partition_by: list[str] | None = None) -> None:
+    """Write df as <catalog>.<db>.<table> (Iceberg) or
+    <location>/<table> (parquet fallback)."""
+    spark = df.sparkSession
+    cat = iceberg_catalog(spark)
+    if cat:
+        ident = f"{cat}.{location}.{table}" if location else f"{cat}.{table}"
+        writer = df.writeTo(ident)
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            try:
+                writer.append()
+            except Exception:
+                writer.create()
+        return
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(f"{location}/{table}")
+
+
+def read_table(spark: SparkSession, location: str, table: str) -> DataFrame:
+    cat = iceberg_catalog(spark)
+    if cat:
+        ident = f"{cat}.{location}.{table}" if location else f"{cat}.{table}"
+        return spark.read.table(ident)
+    return spark.read.parquet(f"{location}/{table}")

@@ -46,13 +46,17 @@ def tag_files(df: DataFrame, content_col: str = "content",
               mode: str = "rank",
               custom_lines: tuple[str, ...] = (),
               use_automaton: bool = False,
-              triple_window: int = 8) -> DataFrame:
+              triple_window: int = 8,
+              auto_repartition: bool = True) -> DataFrame:
     """K1+K2+K3+K4 fused over whole-file rows.
 
     Requires ``sha_col`` (add with ``F.sha2(content, 256)`` at scan
     time so the hash of the *source bytes* is fixed before any python
     touches the row).
     """
+    if auto_repartition:
+        from .tagger import ensure_parallelism
+        df = ensure_parallelism(df)
     out_schema = T.StructType(list(df.schema.fields) + FILE_OUTPUT_FIELDS)
     custom_lines = tuple(custom_lines)
 

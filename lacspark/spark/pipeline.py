@@ -83,15 +83,16 @@ def run_pipeline(spark: SparkSession, files: DataFrame, out_dir: str,
 
     # dynamic partition overwrite (set in session.py): a bucket that
     # crashed mid-write is REPLACED on replay, never double-appended —
-    # per-bucket exactly-once without Iceberg (which would give the
-    # same via snapshot commits on a real cluster)
-    (tagged.select(*keys, "content_sha256", "n_lines", "n_tokens", "sha_ok")
-     .write.mode("overwrite").partitionBy(BUCKET_COL)
-     .parquet(os.path.join(out_dir, "files")))
-    (mentions.write.mode("overwrite").partitionBy(BUCKET_COL)
-     .parquet(os.path.join(out_dir, "mentions")))
-    (triples.write.mode("overwrite").partitionBy(BUCKET_COL)
-     .parquet(os.path.join(out_dir, "triples")))
+    # per-bucket exactly-once in parquet mode; with an Iceberg catalog
+    # configured, catalog.write_table routes to snapshot-atomic
+    # writeTo() instead
+    from .catalog import write_table
+
+    write_table(tagged.select(*keys, "content_sha256", "n_lines",
+                              "n_tokens", "sha_ok"),
+                out_dir, "files", "overwrite", [BUCKET_COL])
+    write_table(mentions, out_dir, "mentions", "overwrite", [BUCKET_COL])
+    write_table(triples, out_dir, "triples", "overwrite", [BUCKET_COL])
 
     # per-bucket lineage metrics (K10): committed only after the
     # bucket's data writes above succeeded.

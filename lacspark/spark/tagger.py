@@ -63,18 +63,34 @@ def _worker_engine(custom_lines: tuple[str, ...], use_automaton: bool):
     return eng
 
 
+def ensure_parallelism(df: DataFrame, min_factor: int = 2) -> DataFrame:
+    """Guard against the small-file trap: a tiny parquet input arrives
+    as 1-2 partitions and a CPU-bound UDF then runs on 1-2 cores.
+    Round-robin repartition up to ``min_factor × defaultParallelism``
+    when the input has fewer partitions than cores.  No-op on inputs
+    that are already wide (no shuffle added at real scale)."""
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(min_factor * cores)
+    return df
+
+
 def tag_and_extract(df: DataFrame, text_col: str = "text",
                     mode: str = "rank",
                     custom_lines: tuple[str, ...] = (),
                     use_automaton: bool = False,
                     with_extraction: bool = True,
-                    triple_window: int = 8) -> DataFrame:
+                    triple_window: int = 8,
+                    auto_repartition: bool = True) -> DataFrame:
     """Append words/tags/ranks (+ mentions/triples) columns.
 
     Keeps every input column (row identity preserved — empty texts
     yield empty arrays in place, models.py:73-101 semantics without
     any reordering).
     """
+    if auto_repartition:
+        df = ensure_parallelism(df)
     new_fields = EXTRACT_OUTPUT_FIELDS if with_extraction else TAG_OUTPUT_FIELDS
     out_schema = T.StructType(list(df.schema.fields) + new_fields)
     custom_lines = tuple(custom_lines)

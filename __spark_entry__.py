@@ -14,7 +14,35 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Make `lacspark` importable inside Spark python workers even
+    when the driver process was launched from another cwd: ship the
+    package zip via addPyFile once per session."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    try:
+        sys.path.insert(0, os.path.join(_REPO, "jobs"))
+        from make_pyfiles import main as _build_zip
+
+        spark.sparkContext.addPyFile(_build_zip())
+    except Exception:
+        pass  # already importable (tests run from the repo root)
+    _SHIPPED.add(key)
+
+
+def _wrap(fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -23,13 +51,14 @@ def entry(spark: SparkSession) -> DataFrame:
     and return canonicalized KG edges."""
     from lacspark.queries import SPARK_QUERIES
 
+    _ensure_shipped(spark)
     return SPARK_QUERIES["kg_edges"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from lacspark.queries import SPARK_QUERIES
 
-    return dict(SPARK_QUERIES)
+    return {name: _wrap(fn) for name, fn in SPARK_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -109,32 +109,49 @@ class BiGruCrf:
             out[i, : len(s)] = s
         return out, lens
 
-    def _gru_dir(self, x: np.ndarray, lens: np.ndarray, prefix: str,
-                 reverse: bool) -> np.ndarray:
-        """One GRU direction over padded [B, T, D] → [B, T, H].
+    def _gru_bidir(self, x: np.ndarray, lens: np.ndarray,
+                   name: str) -> np.ndarray:
+        """Both GRU directions in ONE step loop → [B, T, 2H].
 
-        The backward direction needs NO reversal copies: iterating the
-        masked recurrence from T-1 down to 0 is equivalent — for a row
-        of length L the state stays zero while i ≥ L, so the
-        recurrence effectively starts at the row's true last token.
-        """
+        States of the two directions stack to [2, B, H] and advance
+        with batched matmul ([2,B,H] @ [2,H,3H]) — half the python
+        step overhead and kernel launches of two separate loops.  The
+        backward direction reads time index t-1-i (iterating the masked
+        recurrence from the padded end is equivalent to starting at
+        each row's true last token — state stays zero while masked)."""
         b, t, _ = x.shape
-        wx, wh, bias = self.w[prefix + "_wx"], self.w[prefix + "_wh"], self.w[prefix + "_b"]
-        h_dim = wh.shape[0]
-        pre = x @ wx + bias  # [B, T, 3H] — one big GEMM for all steps
-        h = np.zeros((b, h_dim), dtype=np.float32)
-        outs = np.empty((b, t, h_dim), dtype=np.float32)
+        if not hasattr(self, "_stacks"):
+            self._stacks = {}
+        stacked = self._stacks.get(name)
+        if stacked is None:
+            stacked = self._stacks[name] = {
+                "wx": np.stack([self.w[f"{name}_fw_wx"],
+                                self.w[f"{name}_bw_wx"]]),
+                "wh": np.stack([self.w[f"{name}_fw_wh"],
+                                self.w[f"{name}_bw_wh"]]),
+                "b": np.stack([self.w[f"{name}_fw_b"],
+                               self.w[f"{name}_bw_b"]])[:, None, :],
+            }
+        h_dim = stacked["wh"].shape[1]
+        # [2, B, T, 3H] — one GEMM per direction for all steps
+        pre = np.matmul(x[None], stacked["wx"][:, None]) + \
+            stacked["b"][:, :, None, :]
+        wh_zr = stacked["wh"][:, :, :2 * h_dim]
+        wh_c = stacked["wh"][:, :, 2 * h_dim:]
+        h = np.zeros((2, b, h_dim), dtype=np.float32)
+        outs = np.empty((b, t, 2 * h_dim), dtype=np.float32)
         step_mask = (np.arange(t)[None, :] < lens[:, None]) \
             .astype(np.float32)[:, :, None]
-        steps = range(t - 1, -1, -1) if reverse else range(t)
-        wh_zr, wh_c = wh[:, :2 * h_dim], wh[:, 2 * h_dim:]
-        for i in steps:
-            zr = _sigmoid(pre[:, i, :2 * h_dim] + h @ wh_zr)  # fused z|r
-            z, r = zr[:, :h_dim], zr[:, h_dim:]
-            c = np.tanh(pre[:, i, 2 * h_dim:] + (r * h) @ wh_c)
-            # h where masked; (1-z)h + zc else — single fused update
-            h = h + step_mask[:, i] * (z * (c - h))
-            outs[:, i, :] = h
+        for i in range(t):
+            j = t - 1 - i  # backward direction's time index
+            pi = np.stack([pre[0, :, i], pre[1, :, j]])  # [2, B, 3H]
+            zr = _sigmoid(pi[:, :, :2 * h_dim] + np.matmul(h, wh_zr))
+            z, r = zr[:, :, :h_dim], zr[:, :, h_dim:]
+            c = np.tanh(pi[:, :, 2 * h_dim:] + np.matmul(r * h, wh_c))
+            m = np.stack([step_mask[:, i], step_mask[:, j]])
+            h = h + m * (z * (c - h))
+            outs[:, i, :h_dim] = h[0]
+            outs[:, j, h_dim:] = h[1]
         return outs
 
     def _emissions(self, padded: np.ndarray, lens: np.ndarray,
@@ -149,9 +166,7 @@ class BiGruCrf:
             layers[-1] = (layers[-1][0], "fc")
         out = None
         for name, fc in layers:
-            fw = self._gru_dir(x, lens, f"{name}_fw", reverse=False)
-            bw = self._gru_dir(x, lens, f"{name}_bw", reverse=True)
-            x = np.concatenate([fw, bw], axis=-1)
+            x = self._gru_bidir(x, lens, name)
             if fc:
                 out = x @ self.w[f"{fc}_w"] + self.w[f"{fc}_b"]
         return out

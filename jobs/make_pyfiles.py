@@ -28,9 +28,8 @@ def main() -> str:
                     continue
                 full = os.path.join(dirpath, fn)
                 zf.write(full, os.path.relpath(full, ROOT))
-    print(out)
     return out
 
 
 if __name__ == "__main__":
-    main()
+    print(main())

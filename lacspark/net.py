@@ -25,8 +25,6 @@ import io
 
 import numpy as np
 
-from .tagscheme import NEG
-
 
 def _sigmoid(x: np.ndarray) -> np.ndarray:
     return 1.0 / (1.0 + np.exp(-x))
@@ -271,12 +269,3 @@ class BiGruCrf:
                 for j, i in enumerate(rows):
                     out[i] = pick[j, : int(lens[j])].astype(np.int64)
         return out
-
-
-def _reverse_within_length(x: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Reverse each row of [B, T, D] within its own length."""
-    b, t, _ = x.shape
-    idx = np.arange(t)[None, :]
-    rev = lens[:, None] - 1 - idx
-    rev = np.where(idx < lens[:, None], rev, idx)
-    return x[np.arange(b)[:, None], rev]

@@ -30,19 +30,20 @@ def token_shingles(df: DataFrame, id_col: str, text_col: str,
     """Distinct n-token shingles per document — the minhash feature
     set.  Single tokens degenerate when the vocabulary is small
     (every doc looks like every other); shingles keep the feature
-    space large, so LSH buckets stay selective at corpus scale."""
-    from pyspark.sql.window import Window
+    space large, so LSH buckets stay selective at corpus scale.
 
-    t = (df.select(id_col, F.posexplode(F.split(text_col, " "))
-                   .alias("pos", "token"))
-         .filter(F.length("token") > 0))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    cols = [F.col("token")] + [F.lead("token", i).over(w)
-                               for i in range(1, n)]
-    return (t.select(id_col, F.concat_ws(" ", *cols).alias("token"),
-                     *[F.lead("token", n - 1).over(w).alias("__last")])
-            .filter(F.col("__last").isNotNull())
-            .drop("__last")
+    Built entirely with array expressions in one projection — no
+    window, so no per-document shuffle before the explode."""
+    toks = F.filter(F.split(F.col(text_col), " "),
+                    lambda x: F.length(x) > 0)
+    # NB: sequence(1, 0) descends in Spark — guard short docs explicitly
+    shingles = F.expr(
+        f"case when size(__toks) >= {n} then "
+        f"transform(sequence(1, size(__toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(__toks, i, {n}))) "
+        f"else array() end")
+    return (df.select(id_col, toks.alias("__toks"))
+            .select(id_col, F.explode(shingles).alias("token"))
             .distinct())
 
 

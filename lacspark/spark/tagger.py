@@ -69,6 +69,8 @@ def ensure_parallelism(df: DataFrame, min_factor: int = 2) -> DataFrame:
     Round-robin repartition up to ``min_factor × defaultParallelism``
     when the input has fewer partitions than cores.  No-op on inputs
     that are already wide (no shuffle added at real scale)."""
+    if df.isStreaming:  # micro-batch sizing is the trigger's job
+        return df
     sc = df.sparkSession.sparkContext
     cores = sc.defaultParallelism
     if df.rdd.getNumPartitions() < cores:

@@ -65,6 +65,35 @@ def test_ann_lsh_finds_planted_near_duplicates(spark):
     assert hits >= 36, hits  # ≥90% recall on planted twins
 
 
+def test_watermarked_window_counts(spark, tmp_path):
+    """Watermarked tumbling-window mention counts over a stream —
+    the stateful windowed-agg shape with late-data semantics owned by
+    Spark's state store."""
+    import datetime as dt
+
+    from lacspark.spark.streaming import windowed_mention_counts
+
+    src = str(tmp_path / "wsrc")
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [(base + dt.timedelta(seconds=30 * i), "the fast key table scan")
+            for i in range(8)]
+    spark.createDataFrame(rows, "ts timestamp, text string") \
+        .write.parquet(src)
+    stream = (spark.readStream.schema("ts timestamp, text string")
+              .parquet(src))
+    agg = windowed_mention_counts(stream, "text", "ts",
+                                  window="1 minute", watermark="2 minutes")
+    q = (agg.writeStream.format("memory").queryName("winmc")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("select * from winmc").collect()
+    # 8 events over 4 distinct minutes; append mode emits windows
+    # closed by the watermark (all but the last)
+    assert len(out) >= 1
+    for r in out:
+        assert r.n_mentions > 0 and r.tag
+
+
 def test_streaming_foreachbatch_tagging(spark, tmp_path):
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")

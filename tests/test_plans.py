@@ -1,0 +1,54 @@
+"""Physical-plan regression guards: the properties that make these
+queries scale must stay visible in the plan (predicate pushdown,
+column pruning, broadcast joins, partial aggregation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lacspark.queries import SPARK_QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tagger_scan_prunes_and_pushes(spark):
+    from lacspark.spark.tagger import tag_and_extract
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tagged = tag_and_extract(
+        docs.select("doc_id", "text").filter("doc_id % 3 = 0"), "text")
+    plan = plan_of(tagged)
+    scan = [ln for ln in plan.splitlines() if "Scan parquet" in ln
+            or "FileScan parquet" in ln][0]
+    # only the two needed columns reach the scan; the filter reaches
+    # the data source
+    assert "doc_id" in scan and "text" in scan
+    assert "lang" not in scan and "source" not in scan
+    assert "PushedFilters" in plan or "DataFilters" in scan
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = plan_of(SPARK_QUERIES["orders_by_nation"](spark, SF))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_aggregates_are_partial_final(spark):
+    plan = plan_of(SPARK_QUERIES["tpch_q1_pricing"](spark, SF))
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_no_cartesian_products_in_oracle_suite(spark):
+    # ann_bruteforce intentionally cross-joins a 10-row query set;
+    # everything else must stay free of cartesian products
+    for name, fn in SPARK_QUERIES.items():
+        if name.startswith(("ann_bruteforce", "lac_", "kg_",
+                            "mention_salience", "multimodal",
+                            "ann_lsh_topk")):
+            continue
+        plan = plan_of(fn(spark, SF))
+        assert "CartesianProduct" not in plan, name

@@ -38,9 +38,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 # helpers — Spark side
 def _tokens(df: DataFrame) -> DataFrame:
-    """documents → (doc_id, pos, token), empties filtered."""
-    t = df.select("doc_id", F.posexplode(F.split("text", " "))
-                  .alias("pos", "token"))
+    """documents → (doc_id, pos, token), empties filtered.
+    Widened first: the sf parquet files arrive as one partition."""
+    from .spark.tagger import ensure_parallelism
+
+    t = ensure_parallelism(df).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
     return t.filter(F.length("token") > 0)
 
 

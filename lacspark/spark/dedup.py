@@ -21,6 +21,9 @@ MD5INT = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
 
 def tokens(df: DataFrame, id_col: str, text_col: str,
            min_len: int = 1) -> DataFrame:
+    from .tagger import ensure_parallelism
+
+    df = ensure_parallelism(df)
     t = df.select(id_col, F.explode(F.split(text_col, " ")).alias("token"))
     return t.filter(F.length("token") >= min_len)
 
@@ -36,6 +39,9 @@ def token_shingles(df: DataFrame, id_col: str, text_col: str,
     window, so no per-document shuffle before the explode."""
     toks = F.filter(F.split(F.col(text_col), " "),
                     lambda x: F.length(x) > 0)
+    from .tagger import ensure_parallelism
+
+    df = ensure_parallelism(df)
     # NB: sequence(1, 0) descends in Spark — guard short docs explicitly
     shingles = F.expr(
         f"case when size(__toks) >= {n} then "

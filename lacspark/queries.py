@@ -751,6 +751,31 @@ def dedup_exact_groups_q(spark, sf_dir):
                                   "doc_id", "text")
 
 
+@register("dedup_embedding_cosine", """
+    with v as (select vec_id, embedding::DOUBLE[] e,
+                      (%s)::BIGINT as bucket
+               from embeddings)
+    select a.vec_id as d1, b.vec_id as d2,
+           cast(round(list_dot_product(a.e, b.e) /
+                (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))), 6) as double)
+               as cosine
+    from v a join v b on a.bucket = b.bucket and a.vec_id < b.vec_id
+    where list_dot_product(a.e, b.e) /
+          (sqrt(list_dot_product(a.e, a.e))
+           * sqrt(list_dot_product(b.e, b.e))) >= 0.30
+""" % " + ".join(f"(case when embedding[{j + 1}] > 0 then {1 << j} else 0 end)"
+                 for j in range(8)))
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup (sign-LSH candidates + exact cosine
+    verify).  Threshold 0.30 so the synthetic random embeddings yield
+    a non-trivial result set."""
+    from .spark.dedup import embedding_near_duplicates
+    return embedding_near_duplicates(load(spark, sf_dir, "embeddings"),
+                                     "vec_id", "embedding",
+                                     threshold=0.30, nbits=8)
+
+
 @register("ann_lsh_topk")
 def ann_lsh_topk(spark, sf_dir):
     """Scale-path ANN: sign-bit LSH bucket equi-join + in-bucket

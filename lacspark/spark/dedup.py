@@ -138,6 +138,27 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
         F.round("jaccard_raw", 4).cast("double").alias("jaccard"))
 
 
+def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
+                              threshold: float = 0.95,
+                              nbits: int = 8) -> DataFrame:
+    """Embedding-cosine near-dup: sign-LSH bucket equi-join limits
+    candidates, exact cosine verifies.  (d1, d2, cosine)."""
+    from .similarity import _DOT, _with_norm, sign_bucket
+
+    a = _with_norm(df, id_col, vec_col, "d1") \
+        .withColumn("bucket", sign_bucket("d1_vec", nbits))
+    b = _with_norm(df, id_col, vec_col, "d2") \
+        .withColumn("bucket", sign_bucket("d2_vec", nbits))
+    pairs = (a.join(b, "bucket")
+             .filter(F.col("d1") < F.col("d2"))
+             .withColumn("cosine",
+                         F.expr(_DOT.format(a="d1_vec", b="d2_vec"))
+                         / (F.col("d1_norm") * F.col("d2_norm"))))
+    return (pairs.filter(F.col("cosine") >= threshold)
+            .select("d1", "d2",
+                    F.round("cosine", 6).cast("double").alias("cosine")))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str,
             nbits: int = 16) -> DataFrame:
     """(id, simhash): sign-aggregated token-hash bits."""

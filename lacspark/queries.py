@@ -171,16 +171,17 @@ def lineitem_part_supplier(spark, sf_dir):
 @register("events_sessionize", """
     with marked as (
         select user_id, ts, event_id,
-               case when epoch(ts) - epoch(lag(ts) over w) > 300
+               case when floor(epoch(ts))::BIGINT
+                         - floor(epoch(lag(ts) over w))::BIGINT > 300
                          or lag(ts) over w is null
                     then 1 else 0 end as new_session
         from events window w as (partition by user_id order by ts, event_id)),
     sess as (
         select user_id, event_id,
-               sum(new_session) over (partition by user_id
-                                      order by ts, event_id
-                                      rows between unbounded preceding
-                                      and current row) as session_id
+               (sum(new_session) over (partition by user_id
+                                       order by ts, event_id
+                                       rows between unbounded preceding
+                                       and current row))::BIGINT as session_id
         from marked)
     select user_id, session_id, count(*) as n_events
     from sess group by 1, 2
@@ -234,14 +235,20 @@ def orders_rollup(spark, sf_dir):
         select o_custkey from orders)
 """)
 def customers_set_ops(spark, sf_dir):
-    c = load(spark, sf_dir, "customer").select("c_custkey")
-    o = load(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey"))
-    with_o = c.intersect(o).count()
-    without = c.exceptAll(o.distinct()).distinct().count()
-    return spark.createDataFrame(
-        [("with_orders", with_o), ("without_orders", without)],
-        "bucket string, n long")
+    """INTERSECT/EXCEPT counts as ONE distributed job: left-join the
+    distinct key sets, aggregate both buckets in a single pass, then
+    unpivot the 1-row aggregate — no driver round-trips."""
+    c = load(spark, sf_dir, "customer").select("c_custkey").distinct()
+    o = (load(spark, sf_dir, "orders")
+         .select(F.col("o_custkey").alias("c_custkey")).distinct()
+         .withColumn("__has", F.lit(1)))
+    agg = (c.join(o, "c_custkey", "left")
+           .agg(F.sum(F.coalesce("__has", F.lit(0))).alias("with_o"),
+                F.sum(F.when(F.col("__has").isNull(), 1).otherwise(0))
+                .alias("without")))
+    return agg.select(F.expr(
+        "stack(2, 'with_orders', cast(with_o as long), "
+        "'without_orders', cast(without as long)) as (bucket, n)"))
 
 
 @register("orders_running_total", """
@@ -337,10 +344,10 @@ def salience_topk_tokens(spark, sf_dir):
            count(*) as n_parts
     from (
         select doc_id, pos, token,
-               sum(case when token similar to '[aeiou].*' then 1 else 0 end)
+               (sum(case when token similar to '[aeiou].*' then 1 else 0 end)
                    over (partition by doc_id order by pos
                          rows between unbounded preceding and current row)
-                   as word_id
+                   )::BIGINT as word_id
         from (%s))
     group by doc_id, word_id
 """ % _DUCK_TOKENS)
@@ -373,14 +380,23 @@ def word_boundary_merge(spark, sf_dir):
 """ % _DUCK_TOKENS)
 def chunk_eval_f1(spark, sf_dir):
     """O22 chunk_eval as a join metric: two rule 'taggers' compared
-    on (doc, pos) chunks — the same shape as the P/R≥0.95 gate."""
-    t = _tokens(load(spark, sf_dir, "documents")).cache()
-    pred = t.filter(F.length("token") % 2 == 0).select("doc_id", "pos")
-    gold = t.filter(F.col("token").rlike("^[a-m]")).select("doc_id", "pos")
-    tp = pred.join(gold, ["doc_id", "pos"]).count()
-    fp = pred.join(gold, ["doc_id", "pos"], "left_anti").count()
-    fn = gold.join(pred, ["doc_id", "pos"], "left_anti").count()
-    return spark.createDataFrame([(tp, fp, fn)], "tp long, fp long, fn long")
+    on (doc, pos) chunks — the same shape as the P/R≥0.95 gate.
+    ONE job: full-outer-join the chunk sets, one aggregate over the
+    match flags (tp/fp/fn in a single pass, no driver counts)."""
+    t = _tokens(load(spark, sf_dir, "documents"))
+    pred = (t.filter(F.length("token") % 2 == 0)
+            .select("doc_id", "pos").withColumn("__p", F.lit(1)))
+    gold = (t.filter(F.col("token").rlike("^[a-m]"))
+            .select("doc_id", "pos").withColumn("__g", F.lit(1)))
+    j = pred.join(gold, ["doc_id", "pos"], "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("__p").isNotNull()
+                     & F.col("__g").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("tp"),
+        F.sum(F.when(F.col("__g").isNull(), 1).otherwise(0))
+        .cast("long").alias("fp"),
+        F.sum(F.when(F.col("__p").isNull(), 1).otherwise(0))
+        .cast("long").alias("fn"))
 
 
 @register("cooccurrence_pairs", """
@@ -776,11 +792,27 @@ def dedup_embedding_cosine(spark, sf_dir):
                                      threshold=0.30, nbits=8)
 
 
-@register("ann_lsh_topk")
+@register("ann_lsh_topk", """
+    with v as (select vec_id, embedding::DOUBLE[] e,
+                      (%s)::BIGINT as bucket
+               from embeddings),
+    q as (select * from v where vec_id < 50)
+    select query_id, neighbor_id, rnk from (
+        select q.vec_id as query_id, n.vec_id as neighbor_id,
+               row_number() over (
+                   partition by q.vec_id
+                   order by list_dot_product(q.e, n.e) /
+                       (sqrt(list_dot_product(q.e, q.e))
+                        * sqrt(list_dot_product(n.e, n.e))) desc,
+                       n.vec_id) as rnk
+        from q join v n on n.bucket = q.bucket and n.vec_id != q.vec_id)
+    where rnk <= 5
+""" % " + ".join(f"(case when embedding[{j + 1}] > 0 then {1 << j} else 0 end)"
+                 for j in range(8)))
 def ann_lsh_topk(spark, sf_dir):
     """Scale-path ANN: sign-bit LSH bucket equi-join + in-bucket
-    re-rank (rows-only; the exact baseline above is the oracle-gated
-    twin)."""
+    re-rank.  The oracle expresses the identical bucket + window plan
+    in DuckDB; recall vs the exact twin is asserted in pytest."""
     from .spark.similarity import lsh_bucketed_topk
     e = load(spark, sf_dir, "embeddings")
     return lsh_bucketed_topk(e.filter(F.col("vec_id") < 50), e,

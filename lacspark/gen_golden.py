@@ -1,0 +1,295 @@
+"""Golden-parquet oracles for the non-SQL flagship queries.
+
+The GRU-CRF tagger and the KG derivations are not expressible in
+DuckDB SQL, but every step is deterministic.  This module runs the
+PURE-PYTHON oracle engine (``lacspark.engine`` — no Spark import
+anywhere in the compute path) plus exact python replicas of the
+canonicalization / graph aggregation arithmetic, and materializes
+each flagship query's expected output as a parquet file under
+``lacspark/resources/golden/``.  ``lacspark.queries`` then registers
+``select * from read_parquet(<golden>)`` as the DuckDB oracle, so the
+driver's correctness gate hash-compares the distributed Spark result
+against an independently computed single-process answer.
+
+Scope: the documents tables carry DIFFERENT texts per scale factor
+(same doc_id set, different content — do not assume identity), so the
+doc-derived goldens are materialized once per SF under
+``golden/sf0_001/`` and ``golden/sf0_01/``; the sf-independent
+multimodal golden lives at the golden root.  ``lacspark.queries``
+selects the tag via ``LACSPARK_GOLDEN_TAG`` (default ``sf0_01`` — the
+driver's correctness SF).
+
+Run: ``python -m lacspark.gen_golden``
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections import defaultdict
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .engine import LacEngine
+
+SF_DIRS = {
+    "sf0_001": "/root/testdata/sf0.001",
+    "sf0_01": "/root/testdata/sf0.01",
+}
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "resources", "golden")
+
+
+def md5int(s: str) -> int:
+    """≡ Spark ``conv(substring(md5(x),1,15),16,10)`` and DuckDB
+    ``('0x'||substring(md5(x),1,15))::BIGINT``."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------------------
+# python replica of lacspark.spark.canonical (same arithmetic,
+# single-process): forms → grams → md5 minhash → bands → verified
+# pairs → union-find → canonical + entity_id
+# ---------------------------------------------------------------------------
+
+def _form(word: str) -> str:
+    return word.strip(" ").lower()  # ≡ lower(trim(word)): trim is 0x20-only
+
+
+def _grams(form: str) -> frozenset[str]:
+    # ≡ transform(sequence(1, greatest(len-2,1)), i -> substring(form,i,
+    #   least(3,len))) |> array_distinct
+    ln = len(form)
+    width = min(3, ln)
+    return frozenset(form[i:i + width] for i in range(max(ln - 2, 1)))
+
+
+def canonical_map_py(words: list[str], num_hashes: int = 8,
+                     band_size: int = 2, jaccard_threshold: float = 0.5,
+                     max_bucket: int = 1000) -> dict[str, tuple[str, int]]:
+    """form → (canonical, entity_id) for every distinct form len>=2."""
+    forms = sorted({f for f in (_form(w) for w in words) if len(f) >= 2})
+    grams = {f: _grams(f) for f in forms}
+    sigs = {
+        f: [min(md5int(f"c{i}:{g}") for g in grams[f])
+            for i in range(num_hashes)]
+        for f in forms}
+    buckets: dict[str, list[str]] = defaultdict(list)
+    for f in forms:
+        for b in range(num_hashes // band_size):
+            key = hashlib.md5(
+                ",".join([str(b)] + [str(sigs[f][b * band_size + j])
+                                     for j in range(band_size)])
+                .encode()).hexdigest()
+            buckets[key].append(f)
+    pairs: set[tuple[str, str]] = set()
+    for members in buckets.values():
+        if len(members) > max_bucket:
+            continue  # degenerate band — same cap as candidate_pairs()
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                pairs.add((a, b) if a < b else (b, a))
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in sorted(pairs):
+        ga, gb = grams[a], grams[b]
+        jac = len(ga & gb) / len(ga | gb)
+        if jac >= jaccard_threshold:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    return {f: (find(f), md5int(find(f))) for f in forms}
+
+
+def _canonical(word: str, cmap: dict) -> tuple[str, int]:
+    form = _form(word)
+    if form in cmap:
+        return cmap[form]
+    return form, md5int(form)  # ≡ _with_canonical fallback
+
+
+# ---------------------------------------------------------------------------
+
+def _write(name: str, cols: dict[str, tuple[list, pa.DataType]],
+           subdir: str = "") -> int:
+    arrays = {k: pa.array(v, type=t) for k, (v, t) in cols.items()}
+    table = pa.table(arrays)
+    out = os.path.join(GOLDEN_DIR, subdir) if subdir else GOLDEN_DIR
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(table, os.path.join(out, f"{name}.parquet"))
+    return table.num_rows
+
+
+def gen_for_sf(tag: str, sf_dir: str) -> None:
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    rows = sorted(
+        (int(i), "" if t is None else str(t))
+        for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+        if int(i) % 3 == 0)  # ≡ queries._docs_subset
+    ids = [r[0] for r in rows]
+    texts = [r[1] for r in rows]
+    eng = LacEngine()
+
+    rank_res = eng.run_batch(texts, mode="rank")
+    seg_res = eng.run_batch(texts, mode="seg")
+
+    # lac_tag_documents: (doc_id, word_idx, word, tag, rank)
+    tag_rows = [(d, i, w, t, rk)
+                for d, r in zip(ids, rank_res)
+                for i, (w, t, rk) in enumerate(zip(r.words, r.tags, r.ranks))]
+    n = _write("lac_tag_documents", {
+        "doc_id": ([r[0] for r in tag_rows], pa.int64()),
+        "word_idx": ([r[1] for r in tag_rows], pa.int32()),
+        "word": ([r[2] for r in tag_rows], pa.string()),
+        "tag": ([r[3] for r in tag_rows], pa.string()),
+        "rank": ([r[4] for r in tag_rows], pa.int32())}, subdir=tag)
+    print(f"{tag}/lac_tag_documents: {n} rows")
+
+    seg_rows = [(d, i, w) for d, r in zip(ids, seg_res)
+                for i, w in enumerate(r.words)]
+    n = _write("lac_seg_documents", {
+        "doc_id": ([r[0] for r in seg_rows], pa.int64()),
+        "word_idx": ([r[1] for r in seg_rows], pa.int32()),
+        "word": ([r[2] for r in seg_rows], pa.string())}, subdir=tag)
+    print(f"{tag}/lac_seg_documents: {n} rows")
+
+    # kg_mentions / kg_triples via engine.extract (window=8, the
+    # tag_and_extract default)
+    mention_rows, triple_rows = [], []
+    for d, r in zip(ids, rank_res):
+        ms, ts = eng.extract(r, window=8)
+        mention_rows.extend((d, *m) for m in ms)
+        triple_rows.extend((d, *t) for t in ts)
+    n = _write("kg_mentions", {
+        "doc_id": ([r[0] for r in mention_rows], pa.int64()),
+        "word": ([r[1] for r in mention_rows], pa.string()),
+        "tag": ([r[2] for r in mention_rows], pa.string()),
+        "rank": ([r[3] for r in mention_rows], pa.int32()),
+        "word_idx": ([r[4] for r in mention_rows], pa.int32()),
+        "char_begin": ([r[5] for r in mention_rows], pa.int32())}, subdir=tag)
+    print(f"{tag}/kg_mentions: {n} rows")
+    n = _write("kg_triples", {
+        "doc_id": ([r[0] for r in triple_rows], pa.int64()),
+        "subj": ([r[1] for r in triple_rows], pa.string()),
+        "pred": ([r[2] for r in triple_rows], pa.string()),
+        "obj": ([r[3] for r in triple_rows], pa.string()),
+        "conf": ([r[4] for r in triple_rows], pa.float64())}, subdir=tag)
+    print(f"{tag}/kg_triples: {n} rows")
+
+    # kg_entity_linking: (form, canonical, entity_id)
+    cmap = canonical_map_py([m[1] for m in mention_rows])
+    link = sorted(cmap.items())
+    n = _write("kg_entity_linking", {
+        "form": ([f for f, _ in link], pa.string()),
+        "canonical": ([c for _, (c, _) in link], pa.string()),
+        "entity_id": ([e for _, (_, e) in link], pa.int64())}, subdir=tag)
+    print(f"{tag}/kg_entity_linking: {n} rows")
+
+    # kg_vertices ≡ graph.build_vertices with aliases joined by '|'
+    vstats: dict[tuple[int, str], dict] = {}
+    for _, word, mtag, rank, _, _ in mention_rows:
+        canon, eid = _canonical(word, cmap)
+        s = vstats.setdefault((eid, canon), {
+            "n": 0, "sal": 0, "aliases": set(), "tags": set()})
+        s["n"] += 1
+        s["sal"] += rank
+        s["aliases"].add(_form(word))
+        s["tags"].add(mtag)
+    vrows = sorted((eid, canon, s["n"], s["sal"],
+                    "|".join(sorted(s["aliases"])[:32]),
+                    len(s["tags"]), max(s["tags"]))
+                   for (eid, canon), s in vstats.items())
+    n = _write("kg_vertices", {
+        "entity_id": ([r[0] for r in vrows], pa.int64()),
+        "canonical": ([r[1] for r in vrows], pa.string()),
+        "n_mentions": ([r[2] for r in vrows], pa.int64()),
+        "salience": ([r[3] for r in vrows], pa.int64()),
+        "alias_list": ([r[4] for r in vrows], pa.string()),
+        "n_tags": ([r[5] for r in vrows], pa.int64()),
+        "top_tag": ([r[6] for r in vrows], pa.string())}, subdir=tag)
+    print(f"{tag}/kg_vertices: {n} rows")
+
+    # kg_edges ≡ graph.build_edges
+    estats: dict[tuple, list] = {}
+    for _, subj, pred, obj, conf in triple_rows:
+        sc, sid = _canonical(subj, cmap)
+        oc, oid = _canonical(obj, cmap)
+        key = (sid, sc, _form(pred), oid, oc)
+        agg = estats.setdefault(key, [0.0, 0])
+        agg[0] += conf
+        agg[1] += 1
+    erows = sorted((k, w, c) for k, (w, c) in estats.items())
+    n = _write("kg_edges", {
+        "subj_id": ([k[0] for k, _, _ in erows], pa.int64()),
+        "subj_canonical": ([k[1] for k, _, _ in erows], pa.string()),
+        "pred": ([k[2] for k, _, _ in erows], pa.string()),
+        "obj_id": ([k[3] for k, _, _ in erows], pa.int64()),
+        "obj_canonical": ([k[4] for k, _, _ in erows], pa.string()),
+        "weight": ([w for _, w, _ in erows], pa.float64()),
+        "n_provenance": ([c for _, _, c in erows], pa.int64())}, subdir=tag)
+    print(f"{tag}/kg_edges: {n} rows")
+
+    # mention_salience_topk ≡ kg.mention_salience_topk(keys=[doc_id], k=5)
+    per_word: dict[tuple[int, str], list] = {}
+    for d, word, _, rank, _, _ in mention_rows:
+        agg = per_word.setdefault((d, word), [0, 0])
+        agg[0] = max(agg[0], rank)
+        agg[1] += 1
+    per_doc: dict[int, list] = defaultdict(list)
+    for (d, word), (mx, fq) in per_word.items():
+        per_doc[d].append((word, mx, fq))
+    srows = []
+    for d in sorted(per_doc):
+        ordered = sorted(per_doc[d], key=lambda r: (-r[1], -r[2], r[0]))
+        srows.extend((d, w, mx, fq, i + 1)
+                     for i, (w, mx, fq) in enumerate(ordered[:5]))
+    n = _write("mention_salience_topk", {
+        "doc_id": ([r[0] for r in srows], pa.int64()),
+        "word": ([r[1] for r in srows], pa.string()),
+        "max_rank": ([r[2] for r in srows], pa.int32()),
+        "freq": ([r[3] for r in srows], pa.int64()),
+        "salience_rank": ([r[4] for r in srows], pa.int32())}, subdir=tag)
+    print(f"{tag}/mention_salience_topk: {n} rows")
+
+
+def gen_multimodal() -> None:
+    """≡ synth_media(n=200) + fake decode, scalar projection only —
+    sf-independent, so written once at the golden root."""
+    from .spark.multimodal import _fake_decode
+    mrows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(200):
+        payload = hashlib.sha256(f"42:{i}".encode()).digest() * (1 + i % 7)
+        w, h, _ = _fake_decode(payload)
+        mrows.append((i, kinds[i % 3], len(payload),
+                      hashlib.sha256(payload).hexdigest(), w, h))
+    n = _write("multimodal_features", {
+        "media_id": ([r[0] for r in mrows], pa.int64()),
+        "kind": ([r[1] for r in mrows], pa.string()),
+        "n_bytes": ([r[2] for r in mrows], pa.int64()),
+        "payload_sha": ([r[3] for r in mrows], pa.string()),
+        "width": ([r[4] for r in mrows], pa.int32()),
+        "height": ([r[5] for r in mrows], pa.int32())})
+    print(f"multimodal_features: {n} rows")
+
+
+def main() -> None:
+    for tag, sf_dir in SF_DIRS.items():
+        gen_for_sf(tag, sf_dir)
+    gen_multimodal()
+    print(f"goldens written to {GOLDEN_DIR}")
+
+
+if __name__ == "__main__":
+    main()

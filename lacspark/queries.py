@@ -13,6 +13,7 @@ Design rules keeping the two engines hash-identical:
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -21,6 +22,21 @@ from pyspark.sql.window import Window
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
+
+# Golden parquet files written by ``python -m lacspark.gen_golden``
+# (the pure-python oracle engine's expected output for the non-SQL
+# tagger/KG queries; see the flagship section below).  The documents
+# tables have different texts per scale factor, so doc-derived goldens
+# are materialized per SF; the driver's correctness gate runs at
+# sf0.01 (the default tag), pytest at sf0.001 sets LACSPARK_GOLDEN_TAG.
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "resources", "golden")
+GOLDEN_TAG = os.environ.get("LACSPARK_GOLDEN_TAG", "sf0_01")
+
+
+def _golden_sql(name: str, per_sf: bool = True) -> str:
+    sub = f"{GOLDEN_TAG}/" if per_sf else ""
+    return f"select * from read_parquet('{GOLDEN_DIR}/{sub}{name}.parquet')"
 
 
 def register(name: str, sql: str | None = None):
@@ -820,13 +836,16 @@ def ann_lsh_topk(spark, sf_dir):
         .select("query_id", "neighbor_id", "rnk")
 
 
-@register("multimodal_features")
+@register("multimodal_features",
+          _golden_sql("multimodal_features", per_sf=False))
 def multimodal_features(spark, sf_dir):
-    """Binary-payload feature extraction plumbing (decode stubbed
-    deterministically; schema/batching real)."""
+    """Binary-payload feature extraction plumbing (decode falls back
+    to the deterministic fake when no codec lib is importable;
+    schema/batching real).  Oracle = golden parquet produced by the
+    same pure-python synth+decode functions without Spark."""
     from .spark.multimodal import extract_media_features, synth_media
     media = synth_media(spark, n=200)
-    return extract_media_features(media).select(
+    return extract_media_features(media, force_fake_decode=True).select(
         "media_id", "kind", "n_bytes", "payload_sha", "width", "height")
 
 
@@ -871,7 +890,15 @@ def token_minhash_canonical(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Rows-only entries (UDF-backed; no SQL oracle by nature)
+# Flagship tagger/KG queries — golden-parquet oracles.
+#
+# The GRU-CRF tagger is not SQL-expressible, but it IS deterministic:
+# the pure-python oracle engine (lacspark.engine, no Spark anywhere)
+# materializes each query's expected output as a golden parquet per
+# scale factor at fixture-gen time (``python -m lacspark.gen_golden``),
+# and the DuckDB oracle is a plain SELECT over that file.  All
+# projections are scalar (arrays exploded or joined) so the harness
+# can hash them.
 # ---------------------------------------------------------------------------
 
 def _docs_subset(spark, sf_dir):
@@ -879,23 +906,33 @@ def _docs_subset(spark, sf_dir):
             .filter(F.col("doc_id") % 3 == 0))
 
 
-@register("lac_tag_documents")
+@register("lac_tag_documents", _golden_sql("lac_tag_documents"))
 def lac_tag_documents(spark, sf_dir):
+    """O2+O9: full tag+rank over documents, exploded to one row per
+    word — (doc_id, word_idx, word, tag, rank)."""
     from .spark.tagger import tag_and_extract
-    return (tag_and_extract(_docs_subset(spark, sf_dir), "text",
-                            mode="rank", with_extraction=False)
-            .select("doc_id", "words", "tags", "ranks"))
+    tagged = tag_and_extract(_docs_subset(spark, sf_dir), "text",
+                             mode="rank", with_extraction=False)
+    z = tagged.select(
+        "doc_id", F.posexplode(F.arrays_zip("words", "tags", "ranks"))
+        .alias("word_idx", "z"))
+    return z.select("doc_id", "word_idx",
+                    F.col("z.words").alias("word"),
+                    F.col("z.tags").alias("tag"),
+                    F.col("z.ranks").alias("rank"))
 
 
-@register("lac_seg_documents")
+@register("lac_seg_documents", _golden_sql("lac_seg_documents"))
 def lac_seg_documents(spark, sf_dir):
+    """Seg-mode twin: (doc_id, word_idx, word)."""
     from .spark.tagger import tag_and_extract
-    return (tag_and_extract(_docs_subset(spark, sf_dir), "text",
-                            mode="seg", with_extraction=False)
-            .select("doc_id", "words"))
+    tagged = tag_and_extract(_docs_subset(spark, sf_dir), "text",
+                             mode="seg", with_extraction=False)
+    return (tagged.select(
+        "doc_id", F.posexplode("words").alias("word_idx", "word")))
 
 
-@register("kg_mentions")
+@register("kg_mentions", _golden_sql("kg_mentions"))
 def kg_mentions(spark, sf_dir):
     from .spark.tagger import explode_mentions, tag_and_extract
     tagged = tag_and_extract(_docs_subset(spark, sf_dir), "text",
@@ -903,7 +940,7 @@ def kg_mentions(spark, sf_dir):
     return explode_mentions(tagged, ["doc_id"])
 
 
-@register("kg_triples")
+@register("kg_triples", _golden_sql("kg_triples"))
 def kg_triples(spark, sf_dir):
     from .spark.tagger import explode_triples, tag_and_extract
     tagged = tag_and_extract(_docs_subset(spark, sf_dir), "text",
@@ -911,7 +948,7 @@ def kg_triples(spark, sf_dir):
     return explode_triples(tagged, ["doc_id"])
 
 
-@register("kg_entity_linking")
+@register("kg_entity_linking", _golden_sql("kg_entity_linking"))
 def kg_entity_linking(spark, sf_dir):
     from .spark.canonical import canonical_map
     from .spark.tagger import explode_mentions, tag_and_extract
@@ -921,18 +958,22 @@ def kg_entity_linking(spark, sf_dir):
     return canonical_map(mentions).select("form", "canonical", "entity_id")
 
 
-@register("kg_vertices")
+@register("kg_vertices", _golden_sql("kg_vertices"))
 def kg_vertices(spark, sf_dir):
+    """Aliases serialized with '|' so every column is scalar."""
     from .spark.canonical import canonical_map
     from .spark.graph import build_vertices
     from .spark.tagger import explode_mentions, tag_and_extract
     tagged = tag_and_extract(_docs_subset(spark, sf_dir), "text",
                              mode="rank")
     mentions = explode_mentions(tagged, ["doc_id"]).cache()
-    return build_vertices(mentions, canonical_map(mentions))
+    v = build_vertices(mentions, canonical_map(mentions))
+    return v.select("entity_id", "canonical", "n_mentions", "salience",
+                    F.array_join("aliases", "|").alias("alias_list"),
+                    "n_tags", "top_tag")
 
 
-@register("kg_edges")
+@register("kg_edges", _golden_sql("kg_edges"))
 def kg_edges(spark, sf_dir):
     from .spark.canonical import canonical_map
     from .spark.graph import build_edges
@@ -945,7 +986,7 @@ def kg_edges(spark, sf_dir):
     return build_edges(triples, canonical_map(mentions))
 
 
-@register("mention_salience_topk")
+@register("mention_salience_topk", _golden_sql("mention_salience_topk"))
 def mention_salience_topk_q(spark, sf_dir):
     from .spark.kg import mention_salience_topk
     from .spark.tagger import explode_mentions, tag_and_extract

@@ -2,13 +2,15 @@
 connected components, all JVM-side (no python in the hot path).
 
 Minhash signatures are computed **without any shuffle**: char-3-gram
-arrays per surface form, k hash functions as
-``xxhash64(seed_i, gram)`` reduced with ``array_min`` inside a
-projection.  Banding turns similarity search into an equi-join on
-band keys; candidate pairs are verified with exact n-gram Jaccard
-(array_intersect/array_union on the carried gram arrays).  Everything
-is seeded/deterministic — no rand(), no iteration-order dependence
-(SURVEY §4.2 custom work (d)).
+arrays per surface form, k hash functions as md5 of a per-function
+salt + gram (first 15 hex digits as int64 — identical arithmetic is
+reproducible in DuckDB and pure python, which is how the golden-
+parquet oracles for the KG queries are generated), reduced with
+``array_min`` inside a projection.  Banding turns similarity search
+into an equi-join on band keys; candidate pairs are verified with
+exact n-gram Jaccard (array_intersect/array_union on the carried
+gram arrays).  Everything is seeded/deterministic — no rand(), no
+iteration-order dependence (SURVEY §4.2 custom work (d)).
 
 Connected components: iterative min-label propagation over the
 similarity edges (small-step joins + localCheckpoint, GraphFrames not
@@ -35,18 +37,26 @@ def surface_forms(mentions: DataFrame, word_col: str = "word") -> DataFrame:
     return forms.withColumn("grams", grams)
 
 
+MD5INT = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
+
+
 def minhash_bands(forms: DataFrame, num_hashes: int = 8,
                   band_size: int = 2) -> DataFrame:
-    """Signature + LSH band keys, computed in one projection."""
+    """Signature + LSH band keys, computed in one projection.
+    Hash family: md5-int of 'c{i}:' || gram (pure-python replica:
+    int(md5(f"c{i}:{gram}").hexdigest()[:15], 16))."""
     sig = F.array(*[
         F.array_min(F.expr(
-            f"transform(grams, g -> xxhash64({seed}L, g))"))
+            f"transform(grams, g -> "
+            + MD5INT.format(x=f"concat('c{seed}:', g)") + ")"))
         for seed in range(num_hashes)])
     banded = forms.withColumn("sig", sig)
     n_bands = num_hashes // band_size
     bands = F.array(*[
-        F.xxhash64(F.lit(b), *[F.col("sig")[b * band_size + j]
-                               for j in range(band_size)])
+        F.md5(F.concat_ws(
+            ",", F.lit(str(b)),
+            *[F.col("sig")[b * band_size + j].cast("string")
+              for j in range(band_size)]))
         for b in range(n_bands)])
     return (banded.withColumn("band", F.explode(bands))
             .select("band", "form", "grams"))
@@ -154,4 +164,5 @@ def canonical_map(mentions: DataFrame, word_col: str = "word",
     comp = comp.localCheckpoint()  # cut lineage before unpersisting
     forms.unpersist()
     edges.unpersist()
-    return comp.withColumn("entity_id", F.xxhash64("canonical"))
+    return comp.withColumn(
+        "entity_id", F.expr(MD5INT.format(x="canonical")))

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .canonical import MD5INT
+
 
 def _with_canonical(df: DataFrame, cmap: DataFrame, col: str,
                     out_prefix: str) -> DataFrame:
@@ -28,7 +30,8 @@ def _with_canonical(df: DataFrame, cmap: DataFrame, col: str,
                                    f"__{col}_form"))
             .withColumn(f"{out_prefix}_id",
                         F.coalesce(f"{out_prefix}_id",
-                                   F.xxhash64(f"{out_prefix}_canonical")))
+                                   F.expr(MD5INT.format(
+                                       x=f"{out_prefix}_canonical"))))
             .drop(f"__{col}_form"))
 
 

@@ -35,12 +35,29 @@ FEATURE_FIELDS = [
 ]
 
 
+def _codec_available() -> bool:
+    """True when a real image codec (PIL) is importable.  Not present
+    in this container; on a real cluster installing Pillow flips the
+    decode path automatically — nothing else changes."""
+    try:  # pragma: no cover — container has no codec libs
+        import PIL.Image  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real implementation requires an image codec (PIL/libjpeg),
-    not present in this container."""
-    raise NotImplementedError(
-        "image decode requires PIL/libjpeg; wire it here on a real "
-        "cluster — the Spark plumbing below is codec-agnostic")
+    """Decode an encoded image payload to an HxWxC uint8 array via
+    PIL when available; otherwise the plumbing is exercised with the
+    deterministic fake below."""
+    if not _codec_available():
+        raise NotImplementedError(
+            "image decode requires PIL/libjpeg; pip install Pillow on "
+            "a real cluster — the Spark plumbing is codec-agnostic")
+    import io  # pragma: no cover — needs codec libs
+
+    import PIL.Image  # pragma: no cover
+    return np.asarray(PIL.Image.open(io.BytesIO(payload)))  # pragma: no cover
 
 
 def _fake_decode(payload: bytes, dim: int = 8) -> tuple[int, int, np.ndarray]:
@@ -58,29 +75,34 @@ def _fake_decode(payload: bytes, dim: int = 8) -> tuple[int, int, np.ndarray]:
 
 def extract_media_features(df: DataFrame, payload_col: str = "payload",
                            feature_dim: int = 8,
-                           use_fake_decode: bool = True) -> DataFrame:
+                           force_fake_decode: bool = False) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     Arrow moves the binary column zero-copy into the python worker;
     the per-batch loop is the decode hot path (vectorization happens
-    per payload inside the codec, not across rows)."""
+    per payload inside the codec, not across rows).  The real codec
+    path is taken when PIL imports inside the worker; otherwise (and
+    when ``force_fake_decode`` pins determinism for the oracle) the
+    sha-derived fake stands in."""
     out_schema = T.StructType(list(df.schema.fields) + FEATURE_FIELDS)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_fake = force_fake_decode or not _codec_available()
         for pdf in batches:
             n_bytes, shas, ws, hs, feats = [], [], [], [], []
             for payload in pdf[payload_col]:
                 raw = bytes(payload) if payload is not None else b""
                 n_bytes.append(len(raw))
                 shas.append(hashlib.sha256(raw).hexdigest())
-                if use_fake_decode:
+                if use_fake:
                     w, h, f = _fake_decode(raw, feature_dim)
                 else:  # pragma: no cover — needs codec libs
                     img = decode_image(raw)
                     h, w = img.shape[:2]
-                    f = img.mean(axis=(0, 1)).astype(np.float32)
-                ws.append(w)
-                hs.append(h)
+                    f = img.mean(axis=(0, 1)).reshape(-1)[:feature_dim] \
+                        .astype(np.float32)
+                ws.append(int(w))
+                hs.append(int(h))
                 feats.append([float(x) for x in f])
             pdf = pdf.copy()
             pdf["n_bytes"] = n_bytes

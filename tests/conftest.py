@@ -9,6 +9,14 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Point the golden-parquet oracles at the SF the tests run against
+# (documents texts differ per scale factor).  Must happen before
+# lacspark.queries is imported anywhere.
+_sf = os.environ.get("LACSPARK_TEST_SF", "/root/testdata/sf0.001")
+os.environ.setdefault(
+    "LACSPARK_GOLDEN_TAG",
+    "sf" + os.path.basename(_sf.rstrip("/")).removeprefix("sf").replace(".", "_"))
+
 REF_DIR = "/root/reference/python/LAC"
 
 

@@ -28,15 +28,20 @@ def tokens(df: DataFrame, id_col: str, text_col: str,
     return t.filter(F.length("token") >= min_len)
 
 
-def token_shingles(df: DataFrame, id_col: str, text_col: str,
-                   n: int = 3) -> DataFrame:
-    """Distinct n-token shingles per document — the minhash feature
-    set.  Single tokens degenerate when the vocabulary is small
-    (every doc looks like every other); shingles keep the feature
-    space large, so LSH buckets stay selective at corpus scale.
+def shingle_sets(df: DataFrame, id_col: str, text_col: str,
+                 n: int = 3) -> DataFrame:
+    """(id, shset): DISTINCT n-token shingles per document as one
+    array column.  Single tokens degenerate when the vocabulary is
+    small (every doc looks like every other); shingles keep the
+    feature space large, so LSH buckets stay selective at corpus
+    scale.
 
     Built entirely with array expressions in one projection — no
-    window, so no per-document shuffle before the explode."""
+    explode, no distinct, no shuffle: the per-document shingle set
+    never becomes rows.  Signatures and the exact-jaccard verify both
+    run on the carried arrays (array_min/array_intersect), so the
+    whole near-dup pipeline shuffles only ids + band keys and, for
+    the candidate pairs, one array per side."""
     toks = F.filter(F.split(F.col(text_col), " "),
                     lambda x: F.length(x) > 0)
     from .tagger import ensure_parallelism
@@ -45,12 +50,19 @@ def token_shingles(df: DataFrame, id_col: str, text_col: str,
     # NB: sequence(1, 0) descends in Spark — guard short docs explicitly
     shingles = F.expr(
         f"case when size(__toks) >= {n} then "
-        f"transform(sequence(1, size(__toks) - {n - 1}), "
-        f"i -> concat_ws(' ', slice(__toks, i, {n}))) "
+        f"array_distinct(transform(sequence(1, size(__toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(__toks, i, {n})))) "
         f"else array() end")
     return (df.select(id_col, toks.alias("__toks"))
-            .select(id_col, F.explode(shingles).alias("token"))
-            .distinct())
+            .select(id_col, shingles.alias("shset")))
+
+
+def token_shingles(df: DataFrame, id_col: str, text_col: str,
+                   n: int = 3) -> DataFrame:
+    """Row form of :func:`shingle_sets` — (id, token) distinct shingle
+    rows, for callers that need the relational shape."""
+    return (shingle_sets(df, id_col, text_col, n)
+            .select(id_col, F.explode("shset").alias("token")))
 
 
 def exact_duplicate_groups(df: DataFrame, id_col: str,
@@ -62,13 +74,18 @@ def exact_duplicate_groups(df: DataFrame, id_col: str,
             .filter(F.col("n_docs") > 1))
 
 
-def minhash_signature(token_sets: DataFrame, id_col: str,
+def minhash_signature(shsets: DataFrame, id_col: str,
                       num_hashes: int = 6) -> DataFrame:
-    """token_sets: distinct (id, token) rows → (id, mh0..mhk-1).
-    Hash family: md5 of a per-function salt + token."""
-    aggs = [F.min(F.expr(MD5INT.format(x=f"concat('s{i}:', token)")))
-            .alias(f"mh{i}") for i in range(num_hashes)]
-    return token_sets.groupBy(id_col).agg(*aggs)
+    """shsets: (id, shset array) → (id, mh0..mhk-1) in ONE projection
+    (array_min over transform — no groupBy shuffle; the old
+    explode→groupBy formulation shuffled every shingle of the corpus).
+    Hash family: md5 of a per-function salt + shingle."""
+    cols = [
+        F.array_min(F.expr(
+            "transform(shset, s -> "
+            + MD5INT.format(x=f"concat('s{i}:', s)") + ")"))
+        .alias(f"mh{i}") for i in range(num_hashes)]
+    return shsets.select(id_col, *cols)
 
 
 def lsh_candidates(sigs: DataFrame, id_col: str, num_hashes: int = 6,
@@ -102,37 +119,49 @@ def lsh_candidates(sigs: DataFrame, id_col: str, num_hashes: int = 6,
             .distinct())
 
 
-def jaccard_verify(candidates: DataFrame, token_sets: DataFrame,
+def jaccard_verify(candidates: DataFrame, shsets: DataFrame,
                    id_col: str, threshold: float) -> DataFrame:
-    """Exact token-set jaccard for candidate pairs; keeps >= threshold."""
-    sizes = token_sets.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    t1 = token_sets.select(F.col(id_col).alias("d1"), "token")
-    t2 = token_sets.select(F.col(id_col).alias("d2"), "token")
-    inter = (candidates.join(t1, "d1").join(t2, ["d2", "token"])
-             .groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("n_inter")))
-    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2"))
-    return (candidates.join(inter, ["d1", "d2"], "left")
-            .na.fill({"n_inter": 0})
-            .join(s1, "d1").join(s2, "d2")
+    """Exact set-jaccard for candidate pairs via the carried arrays:
+    two equi-joins pull each side's shingle array onto the pair row,
+    array_intersect computes the overlap in-place — no shingle-level
+    shuffle, no re-aggregation (only candidate docs' arrays move)."""
+    s1 = shsets.select(F.col(id_col).alias("d1"),
+                       F.col("shset").alias("__s1"))
+    s2 = shsets.select(F.col(id_col).alias("d2"),
+                       F.col("shset").alias("__s2"))
+    inter = F.size(F.array_intersect("__s1", "__s2"))
+    return (candidates.join(s1, "d1").join(s2, "d2")
+            .withColumn("n_inter", inter)
             .withColumn("jaccard_raw",
                         F.col("n_inter")
-                        / (F.col("sz1") + F.col("sz2") - F.col("n_inter")))
-            .filter(F.col("jaccard_raw") >= threshold))
+                        / (F.size("__s1") + F.size("__s2")
+                           - F.col("n_inter")))
+            .filter(F.col("jaccard_raw") >= threshold)
+            .drop("__s1", "__s2"))
 
 
 def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
                             num_hashes: int = 6, band_size: int = 2,
                             threshold: float = 0.9, shingle: int = 3,
                             max_bucket: int | None = 2000) -> DataFrame:
-    """Full near-dup pipeline over n-token shingles: (d1, d2, jaccard)."""
-    tsets = token_shingles(df, id_col, text_col, n=shingle) \
-        if shingle > 1 else tokens(df, id_col, text_col) \
-        .select(id_col, "token").distinct()
-    tsets = tsets.persist()
-    sigs = minhash_signature(tsets, id_col, num_hashes)
+    """Full near-dup pipeline over n-token shingles: (d1, d2, jaccard).
+
+    Shuffle budget: banding shuffles (id, band, bkey) rows only; the
+    verify joins move one shingle array per candidate side.  The
+    shingle sets themselves are computed projection-only and never
+    explode into rows (docs with zero shingles are excluded, matching
+    the relational oracle's inner joins)."""
+    if shingle > 1:
+        docsets = shingle_sets(df, id_col, text_col, n=shingle)
+    else:
+        docsets = (tokens(df, id_col, text_col)
+                   .groupBy(id_col)
+                   .agg(F.array_distinct(F.collect_list("token"))
+                        .alias("shset")))
+    docsets = docsets.filter(F.size("shset") > 0).persist()
+    sigs = minhash_signature(docsets, id_col, num_hashes)
     cand = lsh_candidates(sigs, id_col, num_hashes, band_size, max_bucket)
-    verified = jaccard_verify(cand, tsets, id_col, threshold)
+    verified = jaccard_verify(cand, docsets, id_col, threshold)
     return verified.select(
         "d1", "d2",
         F.round("jaccard_raw", 4).cast("double").alias("jaccard"))

@@ -91,19 +91,25 @@ def candidate_pairs(banded: DataFrame, jaccard_threshold: float = 0.5,
 
 
 def connected_components(vertices: DataFrame, edges: DataFrame,
-                         max_iter: int = 20,
+                         max_iter: int = 50,
                          driver_threshold: int = 200_000) -> DataFrame:
-    """Min-label propagation to fixpoint.
+    """Connected components; returns (form, canonical) with canonical
+    = lexicographic min of the component.
 
-    vertices: (form), edges: (src, dst).  Returns (form, canonical).
+    vertices: (form), edges: (src, dst).
 
     Scale split: below ``driver_threshold`` edges the component graph
     is broadcast-scale — collect and union-find on the driver (one
-    job instead of ~2 jobs × diameter iterations; results identical
-    and deterministic).  Above it, iterative min-label joins with
-    localCheckpoint per round (diameter-bounded, the 10^12-file
-    path).  Labels start as the form itself; each round every vertex
-    takes the min of its own and its neighbors' labels.
+    job instead of a multi-round distributed loop; results identical
+    and deterministic).  Above it, alternating large-star/small-star
+    rounds (the public MapReduce CC formulation: each round every
+    node links its neighbors to its neighborhood minimum), which
+    converges to star graphs in O(log n) rounds REGARDLESS of
+    component diameter — a million-node alias chain finishes in ~20
+    rounds where min-label propagation would need a million.  The
+    loop runs to a verified fixpoint (edge set unchanged), never
+    returning partially-converged labels; ``max_iter`` is a runaway
+    guard that raises rather than silently mislabeling.
     """
     n_edges = edges.limit(driver_threshold + 1).count()
     n_vertices = vertices.limit(driver_threshold + 1).count()
@@ -127,27 +133,50 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
                 parent[hi] = lo
         rows = [(r.form, find(r.form)) for r in vertices.collect()]
         return spark.createDataFrame(rows, "form string, canonical string")
-    sym = (edges.select("src", "dst")
-           .union(edges.select(F.col("dst").alias("src"),
-                               F.col("src").alias("dst"))))
-    sym = sym.repartition("src").localCheckpoint()
-    labels = vertices.select("form", F.col("form").alias("canonical"))
-    for _ in range(max_iter):
-        prop = (sym.join(labels, sym.dst == labels.form)
-                .groupBy("src").agg(F.min("canonical").alias("nb")))
-        new_labels = (labels.join(prop, labels.form == prop.src, "left")
-                      .select("form",
-                              F.least("canonical",
-                                      F.coalesce("nb", "canonical"))
-                              .alias("canonical")))
-        new_labels = new_labels.localCheckpoint()
-        changed = (new_labels.join(labels.withColumnRenamed(
-            "canonical", "old"), "form")
-            .filter(F.col("canonical") != F.col("old")).limit(1).count())
-        labels = new_labels
-        if changed == 0:
+    # Orient every edge (hi, lo); both star operations preserve the
+    # orientation, so `lo` is always the smaller label.
+    e = (edges.select(F.greatest("src", "dst").alias("hi"),
+                      F.least("src", "dst").alias("lo"))
+         .filter(F.col("hi") != F.col("lo"))
+         .distinct().localCheckpoint())
+    n_prev = e.count()
+    for it in range(max_iter):
+        # large-star: every node links its LARGER neighbors to its
+        # neighborhood min (including itself)
+        sym = e.union(e.select(F.col("lo").alias("hi"),
+                               F.col("hi").alias("lo")))
+        mins = (sym.groupBy("hi")
+                .agg(F.least(F.min("lo"), F.first("hi")).alias("m")))
+        e = (sym.join(mins, "hi")
+             .filter(F.col("lo") > F.col("hi"))  # larger neighbors
+             .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+             .distinct())
+        # small-star: every node links its smaller neighbors (and
+        # itself) to the min of that down-neighborhood
+        mins = e.groupBy("hi").agg(F.min("lo").alias("m"))
+        e = (e.join(mins, "hi")
+             .filter(F.col("lo") != F.col("m"))
+             .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+             .union(mins.select("hi", F.col("m").alias("lo")))
+             .distinct().localCheckpoint())
+        n_new = e.count()
+        if n_new == n_prev and \
+                e.join(sym, ["hi", "lo"], "left_anti").limit(1).count() == 0:
+            # fixpoint: same edge count and no edge outside the
+            # previous round's (symmetric) set → star graphs reached
             break
-    return labels
+        n_prev = n_new
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"large/small-star rounds — refusing to return partial "
+            f"labels (graph has ~{n_prev} star edges)")
+    # stars: every non-root points straight at its component min
+    return (vertices.join(e.select(F.col("hi").alias("form"),
+                                   F.col("lo").alias("canonical")),
+                          "form", "left")
+            .select("form", F.coalesce("canonical", "form")
+                    .alias("canonical")))
 
 
 def canonical_map(mentions: DataFrame, word_col: str = "word",

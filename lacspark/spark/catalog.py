@@ -22,14 +22,25 @@ def iceberg_catalog(spark: SparkSession) -> str | None:
     return None
 
 
+def _is_fs_path(location: str) -> bool:
+    """A location like '/tmp/out' or 's3://bucket/x' is a filesystem
+    path, not a catalog namespace — it must take the parquet branch
+    even when a V2 catalog is configured, or write_table would build
+    an invalid identifier like 'cat./tmp/out.files' while readers use
+    the path.  Namespaces are dotted identifiers without separators."""
+    return ("/" in location or "\\" in location or ":" in location
+            or location.startswith("."))
+
+
 def write_table(df: DataFrame, location: str, table: str,
                 mode: str = "append",
                 partition_by: list[str] | None = None) -> None:
     """Write df as <catalog>.<db>.<table> (Iceberg) or
-    <location>/<table> (parquet fallback)."""
+    <location>/<table> (parquet fallback).  Filesystem-path locations
+    always use parquet so writers and readers agree."""
     spark = df.sparkSession
     cat = iceberg_catalog(spark)
-    if cat:
+    if cat and not _is_fs_path(location):
         ident = f"{cat}.{location}.{table}" if location else f"{cat}.{table}"
         writer = df.writeTo(ident)
         if mode == "overwrite":
@@ -48,7 +59,7 @@ def write_table(df: DataFrame, location: str, table: str,
 
 def read_table(spark: SparkSession, location: str, table: str) -> DataFrame:
     cat = iceberg_catalog(spark)
-    if cat:
+    if cat and not _is_fs_path(location):
         ident = f"{cat}.{location}.{table}" if location else f"{cat}.{table}"
         return spark.read.table(ident)
     return spark.read.parquet(f"{location}/{table}")

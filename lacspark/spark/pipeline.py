@@ -122,13 +122,18 @@ def run_pipeline(spark: SparkSession, files: DataFrame, out_dir: str,
     sha_bad = sum(m["n_sha_bad"] for m in metrics.values())
 
     if build_graph and n_files:
-        all_mentions = spark.read.parquet(os.path.join(out_dir, "mentions"))
-        all_triples = spark.read.parquet(os.path.join(out_dir, "triples"))
+        # read back through the same shim the writes used — writer
+        # and reader always resolve to the same storage (catalog
+        # table or parquet path), never a mix
+        from .catalog import read_table
+
+        all_mentions = read_table(spark, out_dir, "mentions")
+        all_triples = read_table(spark, out_dir, "triples")
         cmap = canonical_map(all_mentions)
-        build_vertices(all_mentions, cmap).write.mode("overwrite") \
-            .parquet(os.path.join(out_dir, "kg_vertices"))
-        build_edges(all_triples, cmap).write.mode("overwrite") \
-            .parquet(os.path.join(out_dir, "kg_edges"))
+        write_table(build_vertices(all_mentions, cmap), out_dir,
+                    "kg_vertices", "overwrite")
+        write_table(build_edges(all_triples, cmap), out_dir,
+                    "kg_edges", "overwrite")
 
     tagged.unpersist()
     wall = time.time() - t_start

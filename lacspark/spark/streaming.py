@@ -46,12 +46,29 @@ def start_tagging_stream(stream_df: DataFrame, out_dir: str,
 
 def streaming_dedup(stream_df: DataFrame, key_col: str,
                     text_col: str = "text",
-                    timeout_minutes: int = 60) -> DataFrame:
+                    timeout_minutes: int = 60,
+                    max_state_fingerprints: int = 100_000) -> DataFrame:
     """Custom stateful operator: drop rows whose normalized-content
     fingerprint was already seen for the same key, across
     micro-batches — ``applyInPandasWithState`` keeps the seen-set per
-    key in the state store (the applyInPandasWithState shape from the
-    pyspark guide; state TTL via processing-time timeout)."""
+    key in the state store.
+
+    State is bounded two ways (a hot key must not grow the state
+    store without limit at corpus scale):
+
+    * TTL: when the ProcessingTimeTimeout fires for an idle key the
+      state is REMOVED (``state.hasTimedOut`` handled — the timeout
+      invocation carries no data and must not re-arm the timer);
+    * size cap: at most ``max_state_fingerprints`` per key, evicting
+      the OLDEST fingerprints FIFO (the stored array keeps insertion
+      order).  Past the cap dedup degrades gracefully to
+      approximate — a re-occurrence of an evicted fingerprint is
+      emitted again — which is the right trade for a bounded store.
+
+    Fingerprints are stored truncated to 16 hex chars (64 bits): at
+    10^5 entries/key the in-store collision odds are ~3e-10 and the
+    state row shrinks 2×.
+    """
     import hashlib
 
     import pandas as pd
@@ -61,17 +78,28 @@ def streaming_dedup(stream_df: DataFrame, key_col: str,
     state_schema = "seen array<string>"
 
     def dedup(key, pdf_iter, state):
-        seen = set(state.get[0]) if state.exists else set()
+        if state.hasTimedOut:
+            # idle-key TTL: drop the seen-set, emit nothing, do NOT
+            # re-arm the timer (re-arming would keep state forever)
+            state.remove()
+            yield pd.DataFrame(columns=[key_col, text_col, "fingerprint"])
+            return
+        ordered = list(state.get[0]) if state.exists else []
+        seen = set(ordered)
         rows = []
         for pdf in pdf_iter:
             for text in pdf[text_col]:
                 text = "" if text is None else str(text)
                 fp = hashlib.md5(" ".join(text.lower().split())
                                  .encode()).hexdigest()
-                if fp not in seen:
-                    seen.add(fp)
+                short = fp[:16]
+                if short not in seen:
+                    seen.add(short)
+                    ordered.append(short)
                     rows.append((key[0], text, fp))
-        state.update((sorted(seen),))
+        if len(ordered) > max_state_fingerprints:
+            ordered = ordered[-max_state_fingerprints:]
+        state.update((ordered,))
         state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         yield pd.DataFrame(rows,
                            columns=[key_col, text_col, "fingerprint"])

@@ -123,6 +123,28 @@ def test_connected_components_chain(spark):
     assert dist == expected
 
 
+def test_connected_components_long_chain_and_random(spark):
+    """large/small-star must agree with driver union-find on (a) a
+    120-node chain — diameter far beyond the old 20-round min-label
+    cap — and (b) a deterministic pseudo-random graph."""
+    chain = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(119)]
+    import hashlib
+    rand = [(f"v{int(hashlib.md5(f'a{i}'.encode()).hexdigest()[:4], 16) % 60:02d}",
+             f"v{int(hashlib.md5(f'b{i}'.encode()).hexdigest()[:4], 16) % 60:02d}")
+            for i in range(80)]
+    for edge_list in (chain, rand):
+        nodes = sorted({n for e in edge_list for n in e})
+        verts = spark.createDataFrame([(n,) for n in nodes], "form string")
+        edges = spark.createDataFrame(
+            [e for e in edge_list if e[0] != e[1]], "src string, dst string")
+        ref = {r.form: r.canonical
+               for r in connected_components(verts, edges).collect()}
+        dist = {r.form: r.canonical
+                for r in connected_components(
+                    verts, edges, driver_threshold=0).collect()}
+        assert dist == ref
+
+
 def test_salience_topk(spark, docs):
     tagged = tag_and_extract(docs, "text", mode="rank")
     mentions = explode_mentions(tagged, ["doc_id"])

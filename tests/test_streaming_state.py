@@ -39,3 +39,36 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     assert a_texts == {"hello world", "fresh row"}
     b_texts = {" ".join(t.lower().split()) for s, t, _ in rows if s == "b"}
     assert b_texts == {"hello world", "also fresh"}
+
+
+def test_streaming_dedup_state_is_bounded(spark, tmp_path):
+    """Per-key state is capped FIFO: feeding more distinct rows than
+    the cap keeps only the newest fingerprints, so an evicted (oldest)
+    fingerprint re-emits while a retained one is still deduped —
+    bounded state store, graceful approximate dedup past the cap."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = [("k", f"row number {i}") for i in range(5)]
+    spark.createDataFrame(batch1, "source string, text string") \
+        .coalesce(1).write.parquet(src + "/b1")
+    # row 0 was evicted (cap 3 keeps rows 2,3,4); row 4 was retained
+    spark.createDataFrame([("k", "row number 0"), ("k", "row number 4")],
+                          "source string, text string") \
+        .coalesce(1).write.parquet(src + "/b2")
+
+    stream = (spark.readStream
+              .schema("source string, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/*"))
+    deduped = streaming_dedup(stream, "source", "text",
+                              max_state_fingerprints=3)
+    q = (deduped.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    texts = [r.text for r in spark.read.parquet(out).collect()]
+    assert sorted(texts).count("row number 0") == 2  # evicted → re-emitted
+    assert sorted(texts).count("row number 4") == 1  # retained → deduped
+    assert len(texts) == 6  # 5 from batch 1 + the one re-emission

@@ -808,11 +808,18 @@ def dedup_embedding_cosine(spark, sf_dir):
                                      threshold=0.30, nbits=8)
 
 
-@register("ann_lsh_topk", """
+def _ann_lsh_oracle() -> str:
+    from .spark.similarity import probe_masks
+    bucket = " + ".join(
+        f"(case when embedding[{j + 1}] > 0 then {1 << j} else 0 end)"
+        for j in range(8))
+    masks = ", ".join(str(m) for m in probe_masks(8, 2))
+    return f"""
     with v as (select vec_id, embedding::DOUBLE[] e,
-                      (%s)::BIGINT as bucket
+                      ({bucket})::BIGINT as bucket
                from embeddings),
-    q as (select * from v where vec_id < 50)
+    q as (select vec_id, e, xor(bucket, mask) as bucket
+          from v, unnest([{masks}]) as t(mask) where vec_id < 50)
     select query_id, neighbor_id, rnk from (
         select q.vec_id as query_id, n.vec_id as neighbor_id,
                row_number() over (
@@ -823,16 +830,20 @@ def dedup_embedding_cosine(spark, sf_dir):
                        n.vec_id) as rnk
         from q join v n on n.bucket = q.bucket and n.vec_id != q.vec_id)
     where rnk <= 5
-""" % " + ".join(f"(case when embedding[{j + 1}] > 0 then {1 << j} else 0 end)"
-                 for j in range(8)))
+"""
+
+
+@register("ann_lsh_topk", _ann_lsh_oracle())
 def ann_lsh_topk(spark, sf_dir):
-    """Scale-path ANN: sign-bit LSH bucket equi-join + in-bucket
-    re-rank.  The oracle expresses the identical bucket + window plan
-    in DuckDB; recall vs the exact twin is asserted in pytest."""
+    """Scale-path ANN: multi-probe sign-bit LSH (Hamming-radius-2
+    probes) + bucket equi-join + re-rank.  The oracle expresses the
+    identical probe/bucket/window plan in DuckDB; recall vs the exact
+    twin is asserted in pytest."""
     from .spark.similarity import lsh_bucketed_topk
     e = load(spark, sf_dir, "embeddings")
     return lsh_bucketed_topk(e.filter(F.col("vec_id") < 50), e,
-                             "vec_id", "embedding", k=5, nbits=8) \
+                             "vec_id", "embedding", k=5, nbits=8,
+                             probe_radius=2) \
         .select("query_id", "neighbor_id", "rnk")
 
 

@@ -57,13 +57,38 @@ def sign_bucket(vec_col: str, nbits: int = 8):
     return F.expr(f"cast({expr} as bigint)")
 
 
+def probe_masks(nbits: int, radius: int) -> list[int]:
+    """All XOR masks within Hamming distance ``radius`` of a code —
+    the multi-probe sequence (probe the exact bucket, then every
+    bucket differing in ≤radius sign bits)."""
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << i for i in range(nbits)]
+    if radius >= 2:
+        masks += [(1 << i) | (1 << j)
+                  for i in range(nbits) for j in range(i + 1, nbits)]
+    return masks
+
+
 def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
-                      vec_col: str, k: int = 5, nbits: int = 8) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's bucket.
-    At 10^12 scale the equi-join shuffles each side once by bucket —
-    no cross-join ever materializes."""
-    q = _with_norm(queries, id_col, vec_col, "query_id") \
-        .withColumn("bucket", sign_bucket("query_id_vec", nbits))
+                      vec_col: str, k: int = 5, nbits: int = 8,
+                      probe_radius: int = 2) -> DataFrame:
+    """Approximate top-k with MULTI-PROBE sign LSH: each query probes
+    every bucket within ``probe_radius`` sign-bit flips of its own
+    code (radius 2 on 8 bits = 37 of 256 codes → ~14% of the corpus
+    scanned instead of 100%).  Still an equi-join — queries fan out
+    to probe codes (tiny side multiplies, corpus is shuffled ONCE by
+    bucket), so at 10^12 scale no cross-join ever materializes.  Each
+    (query, neighbor) pair matches at most one probe (a neighbor has
+    exactly one bucket), so no dedup is needed before ranking."""
+    masks = probe_masks(nbits, probe_radius)
+    q = (_with_norm(queries, id_col, vec_col, "query_id")
+         .withColumn("__code", sign_bucket("query_id_vec", nbits))
+         .withColumn("__mask", F.explode(F.array(
+             *[F.lit(m) for m in masks])))
+         .withColumn("bucket",
+                     F.expr("cast(__code ^ __mask as bigint)"))
+         .drop("__code", "__mask"))
     n = _with_norm(corpus, id_col, vec_col, "neighbor_id") \
         .withColumn("bucket", sign_bucket("neighbor_id_vec", nbits))
     pairs = (q.join(n, "bucket")

@@ -1,0 +1,43 @@
+"""ANN quality: the multi-probe LSH scale path must recover a
+meaningful fraction of the exact brute-force top-k, and probing must
+strictly beat the single-bucket variant (the structural reason the
+multi-probe sequence exists)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from lacspark.spark.similarity import cosine_topk, lsh_bucketed_topk
+
+SF_DIR = os.environ.get("LACSPARK_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _topk_sets(df):
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_lsh_recall_at_5(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = _topk_sets(cosine_topk(queries, emb, "vec_id", "embedding", k=5))
+
+    def recall(probe_radius: int) -> float:
+        approx = _topk_sets(lsh_bucketed_topk(
+            queries, emb, "vec_id", "embedding", k=5, nbits=8,
+            probe_radius=probe_radius))
+        per_q = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+                 for q in exact]
+        return sum(per_q) / len(per_q)
+
+    r0, r2 = recall(0), recall(2)
+    # radius-2 probing scans ~14% of the corpus (37/256 codes); on the
+    # synthetic near-uniform embeddings that recovers ~30% of the true
+    # top-5 vs ~4% for the single bucket — assert the ordering and a
+    # conservative floor
+    assert r2 > r0
+    assert r2 >= 0.15, f"multi-probe recall@5 collapsed: {r2}"

@@ -11,8 +11,11 @@ and a minimal incremental CRF trainer.
   of the north rule is computed with exactly this join.
 * ``crf_fit_transitions`` is the incremental-training path (O21,
   models.py:177-210): full CRF NLL gradient via forward-backward on
-  the transition/start/stop parameters (emissions frozen) — enough to
-  adapt the decoder to new annotation, deterministic, no Paddle.
+  the transition/start/stop parameters, plus (``fit_emissions=True``)
+  the linear emission head fc_w/fc_b — enough to adapt both the
+  decoder and the label scores to new annotation, deterministic, no
+  Paddle.  The recurrent stack stays frozen (declared scope,
+  SURVEY §3.3; the reference trains it with Adam, nets.py:276-359).
 """
 
 from __future__ import annotations
@@ -186,31 +189,40 @@ def _log_sum_exp(a: np.ndarray, axis: int) -> np.ndarray:
 
 def crf_fit_transitions(net, id_seqs: list[np.ndarray],
                         label_seqs: list[np.ndarray],
-                        lr: float = 0.1, epochs: int = 10) -> list[float]:
+                        lr: float = 0.1, epochs: int = 10,
+                        fit_emissions: bool = False) -> list[float]:
     """Full-batch gradient descent on the CRF NLL w.r.t.
-    (crf_trans, crf_start, crf_stop), emissions frozen.
+    (crf_trans, crf_start, crf_stop) and — with
+    ``fit_emissions=True`` — the emission FC layer (fc_w, fc_b); the
+    recurrent stack and embeddings stay frozen (the reference trains
+    the full stack with Adam, nets.py:276-359; transitions + the
+    linear emission head is the slice that stays deterministic and
+    Paddle-free here).
 
     Forward-backward in log space; deterministic (no shuffling, fixed
     lr).  Returns the per-epoch NLL trace (must decrease).  After
-    fitting, ``net`` decodes with the updated transitions — the
+    fitting, ``net`` decodes with the updated weights — the
     incremental-training hot-reload of models.py:209."""
-    emis_list = []
     padded, lens = net._pad([np.asarray(s, dtype=np.int64)
                              for s in id_seqs])
-    emis_all = net._emissions(padded, lens)
-    for k, s in enumerate(id_seqs):
-        emis_list.append(emis_all[k, : len(s)])
+    hidden_all = net._hidden(padded, lens)  # [B, T, 2H], frozen
+    h_list = [hidden_all[k, : len(s)].astype(np.float64)
+              for k, s in enumerate(id_seqs)]
 
     nll_trace = []
     for _ in range(epochs):
         g_trans = np.zeros_like(net.w["crf_trans"])
         g_start = np.zeros_like(net.w["crf_start"])
         g_stop = np.zeros_like(net.w["crf_stop"])
+        g_fc_w = np.zeros(net.w["fc_w"].shape, dtype=np.float64)
+        g_fc_b = np.zeros(net.w["fc_b"].shape, dtype=np.float64)
         total_nll = 0.0
         trans = net.w["crf_trans"].astype(np.float64)
-        for emis, labels in zip(emis_list, label_seqs):
-            t, n = emis.shape
-            e = emis.astype(np.float64)
+        fc_w = net.w["fc_w"].astype(np.float64)
+        fc_b = net.w["fc_b"].astype(np.float64)
+        for h, labels in zip(h_list, label_seqs):
+            e = h @ fc_w + fc_b  # emissions from the current FC
+            t, n = e.shape
             # forward
             alpha = np.empty((t, n))
             alpha[0] = net.w["crf_start"] + e[0]
@@ -236,16 +248,28 @@ def crf_fit_transitions(net, id_seqs: list[np.ndarray],
                      + (e[i] + beta[i])[None, :]) - logz
                 g_trans += np.exp(m)
                 g_trans[labels[i - 1], labels[i]] -= 1
+            if fit_emissions:
+                # dNLL/de[i,j] = P(y_i=j | x) − 1[labels_i=j]; the FC
+                # is linear, so g_fc_w = hᵀ dE, g_fc_b = Σ_i dE[i]
+                node_p = np.exp(alpha + beta - logz)  # [t, n]
+                node_p[np.arange(t), labels] -= 1.0
+                g_fc_w += h.T @ node_p
+                g_fc_b += node_p.sum(axis=0)
             # observed path score
             score = net.w["crf_start"][labels[0]] + e[0, labels[0]]
             for i in range(1, t):
                 score += trans[labels[i - 1], labels[i]] + e[i, labels[i]]
             score += net.w["crf_stop"][labels[-1]]
             total_nll += float(logz - score)
-        scale = lr / max(len(emis_list), 1)
+        scale = lr / max(len(h_list), 1)
         net.w["crf_trans"] -= (scale * g_trans).astype(np.float32)
         net.w["crf_start"] -= (scale * g_start).astype(np.float32)
         net.w["crf_stop"] -= (scale * g_stop).astype(np.float32)
+        if fit_emissions:
+            net.w["fc_w"] = (net.w["fc_w"].astype(np.float64)
+                             - scale * g_fc_w).astype(np.float32)
+            net.w["fc_b"] = (net.w["fc_b"].astype(np.float64)
+                             - scale * g_fc_b).astype(np.float32)
         net.refresh_crf()  # keep the constrained decoder in sync
-        nll_trace.append(total_nll / max(len(emis_list), 1))
+        nll_trace.append(total_nll / max(len(h_list), 1))
     return nll_trace

@@ -124,6 +124,42 @@ def test_crf_incremental_training_reduces_nll_and_adapts():
     assert acc_after > 0.9  # adapted to the new annotation
 
 
+def test_crf_training_with_emission_layer_beats_transitions_only():
+    """fit_emissions=True must update fc_w/fc_b, keep the NLL trace
+    decreasing, and reach a LOWER final NLL than transitions-only on
+    annotation the transitions alone cannot express (labels that
+    depend on the token, not the neighbor)."""
+    def fresh():
+        return BiGruCrf.load(str(resource_dir() / "seg_weights.npz"),
+                             transition_mask(SEG_LABELS),
+                             start_mask(SEG_LABELS))
+
+    rng = np.random.default_rng(7)
+    vocab = fresh().w["emb"].shape[0]
+    seqs = [rng.integers(0, vocab, rng.integers(4, 12)) for _ in range(24)]
+    # token-dependent annotation: even ids are -S, odd ids are -B
+    labels = [np.where(s % 2 == 0, SEG_LABELS.index("-S"),
+                       SEG_LABELS.index("-B")).astype(np.int64)
+              for s in seqs]
+
+    net_t = fresh()
+    trace_t = crf_fit_transitions(net_t, seqs, labels, lr=0.3, epochs=30)
+
+    net_e = fresh()
+    fc_before = net_e.w["fc_w"].copy()
+    trace_e = crf_fit_transitions(net_e, seqs, labels, lr=0.3, epochs=30,
+                                  fit_emissions=True)
+    assert not np.array_equal(fc_before, net_e.w["fc_w"])  # FC trained
+    assert trace_e[-1] < trace_e[0]
+    assert trace_e[-1] < trace_t[-1]  # emission head adds capacity
+    acc_e = np.mean([np.mean(p == l)
+                     for p, l in zip(net_e.decode(seqs), labels)])
+    acc_t = np.mean([np.mean(p == l)
+                     for p, l in zip(net_t.decode(seqs), labels)])
+    assert acc_e > acc_t
+    assert acc_e > 0.55
+
+
 def test_training_rows_reader(spark, tmp_path):
     p = tmp_path / "train.tsv"
     p.write_text("百度/ORG 是/v 公司/n\n\nspark/n 好/a\nbroken line\n",

@@ -23,6 +23,10 @@ def main() -> str:
         for dirpath, _dirnames, filenames in os.walk(pkg):
             if "__pycache__" in dirpath:
                 continue
+            # golden oracles are driver/DuckDB-side test artifacts,
+            # not worker resources — keep them out of the ship zip
+            if os.sep + "golden" in dirpath:
+                continue
             for fn in filenames:
                 if fn.endswith(".pyc"):
                     continue

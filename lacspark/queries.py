@@ -424,16 +424,25 @@ def chunk_eval_f1(spark, sf_dir):
     group by 1, 2
 """ % _DUCK_TOKENS)
 def cooccurrence_pairs(spark, sf_dir):
-    """K4's cross-sentence variant: range self-join on positions."""
-    t = (_tokens(load(spark, sf_dir, "documents"))
-         .filter(F.length("token") >= 4))
-    a, b = t.alias("a"), t.alias("b")
-    return (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
-                   & (F.col("b.pos") > F.col("a.pos"))
-                   & (F.col("b.pos") <= F.col("a.pos") + 3))
-            .filter(F.col("a.token") < F.col("b.token"))
-            .groupBy(F.col("a.token").alias("t1"),
-                     F.col("b.token").alias("t2"))
+    """K4's cross-sentence variant: windowed token co-occurrence.
+
+    Pairs are generated INSIDE the scan projection (indexed transform
+    over the token array + slice of the next 3 positions) — the old
+    positional self-join shuffled the token table twice; this plan's
+    only shuffle is the final (t1, t2) aggregate."""
+    from .spark.tagger import ensure_parallelism
+    d = ensure_parallelism(load(spark, sf_dir, "documents"))
+    toks = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    pairs = F.expr(
+        "flatten(transform(__toks, (x, i) -> "
+        "  case when length(x) >= 4 then "
+        "    transform(filter(slice(__toks, i + 2, 3), "
+        "                     y -> length(y) >= 4 and x < y), "
+        "              y -> struct(x as t1, y as t2)) "
+        "  else array() end))")
+    return (d.select(toks.alias("__toks"))
+            .select(F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
             .agg(F.count(F.lit(1)).alias("n_cooccur")))
 
 
@@ -568,20 +577,24 @@ def dedup_simhash(spark, sf_dir):
 """ % _DUCK_TOKENS)
 def dedup_jaccard_adjacent(spark, sf_dir):
     """Token-set jaccard between doc i and doc i+1 — n-gram-jaccard
-    dedup on a linear candidate structure."""
-    tsets = (_tokens(load(spark, sf_dir, "documents"))
-             .select("doc_id", "token").distinct().cache())
-    sizes = tsets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    nxt = tsets.select((F.col("doc_id") - 1).alias("doc_id"), "token")
-    inter = (tsets.join(nxt, ["doc_id", "token"])
-             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_inter")))
-    s2 = sizes.select((F.col("doc_id") - 1).alias("doc_id"),
-                      F.col("sz").alias("sz_next"))
-    return (sizes.join(s2, "doc_id")  # only docs that have a successor
-            .join(inter, "doc_id", "left").na.fill({"n_inter": 0})
+    dedup on a linear candidate structure.  Token sets stay per-doc
+    ARRAYS (projection-only, no explode/distinct shuffle); one
+    equi-join on doc_id aligns each doc with its successor and
+    array_intersect computes the overlap in place."""
+    from .spark.tagger import ensure_parallelism
+    d = ensure_parallelism(load(spark, sf_dir, "documents"))
+    tset = F.array_distinct(F.filter(F.split("text", " "),
+                                     lambda x: F.length(x) > 0))
+    docs = (d.select("doc_id", tset.alias("ts"))
+            .filter(F.size("ts") > 0))  # empty docs drop on both sides
+    nxt = docs.select((F.col("doc_id") - 1).alias("doc_id"),
+                      F.col("ts").alias("ts_next"))
+    inter = F.size(F.array_intersect("ts", "ts_next"))
+    return (docs.join(nxt, "doc_id")  # inner: only docs with a successor
+            .withColumn("n_inter", inter)
             .select("doc_id",
                     F.round(F.col("n_inter")
-                            / (F.col("sz") + F.col("sz_next")
+                            / (F.size("ts") + F.size("ts_next")
                                - F.col("n_inter")), 4)
                     .cast("double").alias("jaccard_next")))
 

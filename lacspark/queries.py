@@ -860,6 +860,77 @@ def ann_lsh_topk(spark, sf_dir):
         .select("query_id", "neighbor_id", "rnk")
 
 
+_IVF_DIM = 64
+
+
+def _ivf_oracle_ctes() -> str:
+    """Shared DuckDB CTEs for the IVF family: per-label centroid
+    codebook (components rounded to 9 decimals, mirroring
+    lacspark.spark.similarity.label_centroids), nearest-list
+    assignment, and the nprobe=3 probe set for query ids < 50."""
+    cent = ", ".join(f"round(avg(embedding[{j + 1}]), 9)"
+                     for j in range(_IVF_DIM))
+    cos_c = ("list_dot_product(v.e, c.cv) / "
+             "(sqrt(list_dot_product(v.e, v.e)) "
+             "* sqrt(list_dot_product(c.cv, c.cv)))")
+    return f"""
+    with c as (select label as list_id, [{cent}]::DOUBLE[] as cv
+               from embeddings group by label),
+    v as (select vec_id, embedding::DOUBLE[] e from embeddings),
+    assign as (
+        select vec_id, e, list_id from (
+            select v.vec_id, v.e, c.list_id,
+                   row_number() over (partition by v.vec_id
+                       order by {cos_c} desc, c.list_id) as rn
+            from v cross join c) where rn = 1),
+    probes as (
+        select vec_id, e, list_id from (
+            select v.vec_id, v.e, c.list_id,
+                   row_number() over (partition by v.vec_id
+                       order by {cos_c} desc, c.list_id) as rn
+            from v cross join c where v.vec_id < 50) where rn <= 3)
+"""
+
+
+@register("ann_ivf_lists", _ivf_oracle_ctes() + """
+    select list_id, count(*) as n_vectors from assign group by list_id
+""")
+def ann_ivf_lists(spark, sf_dir):
+    """IVF partition histogram: corpus vectors per inverted list
+    after nearest-centroid assignment — the skew diagnostic for
+    choosing nprobe at scale."""
+    from .spark.similarity import ivf_list_sizes
+    e = load(spark, sf_dir, "embeddings")
+    return ivf_list_sizes(e, "vec_id", "embedding", "label", _IVF_DIM)
+
+
+@register("ann_ivf_topk", _ivf_oracle_ctes() + """
+    select query_id, neighbor_id, rnk from (
+        select q.vec_id as query_id, n.vec_id as neighbor_id,
+               row_number() over (
+                   partition by q.vec_id
+                   order by list_dot_product(q.e, n.e) /
+                       (sqrt(list_dot_product(q.e, q.e))
+                        * sqrt(list_dot_product(n.e, n.e))) desc,
+                       n.vec_id) as rnk
+        from probes q join assign n using (list_id)
+        where n.vec_id != q.vec_id)
+    where rnk <= 5
+""")
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN scale path: per-label centroid codebook (broadcast),
+    nearest-list corpus assignment via partial-aggregating max_by,
+    nprobe=3 probe fan-out on the query side, equi-join on list_id,
+    exact cosine re-rank.  Data-adaptive complement to the
+    data-independent sign-LSH path (`ann_lsh_topk`)."""
+    from .spark.similarity import ivf_topk
+    e = load(spark, sf_dir, "embeddings")
+    return ivf_topk(e.filter(F.col("vec_id") < 50), e,
+                    "vec_id", "embedding", "label", _IVF_DIM,
+                    k=5, nprobe=3) \
+        .select("query_id", "neighbor_id", "rnk")
+
+
 @register("multimodal_features",
           _golden_sql("multimodal_features", per_sf=False))
 def multimodal_features(spark, sf_dir):

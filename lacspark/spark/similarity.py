@@ -70,6 +70,97 @@ def probe_masks(nbits: int, radius: int) -> list[int]:
     return masks
 
 
+def label_centroids(corpus: DataFrame, vec_col: str, label_col: str,
+                    dim: int) -> DataFrame:
+    """Coarse-quantizer codebook: one centroid per ``label_col`` value
+    (deterministic — no k-means seed to drift between engines).  One
+    groupBy with 64 partial-aggregating avg columns, no explode: the
+    map side reduces every partition to n_labels rows before the
+    shuffle, so this is a constant-size aggregate even at 10^12 rows.
+    Components rounded to 9 decimals so Spark's and an oracle engine's
+    summation order can't flip downstream nearest-centroid argmaxes."""
+    aggs = [F.round(F.avg(F.element_at(F.col(vec_col), j + 1)
+                          .cast("double")), 9).alias(f"__c{j}")
+            for j in range(dim)]
+    return (corpus.groupBy(F.col(label_col).alias("list_id")).agg(*aggs)
+            .select("list_id",
+                    F.array(*[F.col(f"__c{j}") for j in range(dim)])
+                    .alias("centroid")))
+
+
+def _nearest_lists(df: DataFrame, centroids: DataFrame, out_id: str,
+                   nprobe: int) -> DataFrame:
+    """(out_id, *vec cols, list_id) for the ``nprobe`` centroids
+    nearest by cosine.  Centroids are broadcast (tiny), so the
+    cross-join is a map-side fan-out by n_labels; for nprobe == 1 the
+    argmax is a partial-aggregating max_by (no window shuffle)."""
+    cent = (centroids
+            .withColumn("c_norm", F.expr(
+                "sqrt(" + _DOT.format(a="centroid", b="centroid") + ")")))
+    scored = (df.crossJoin(F.broadcast(cent))
+              .withColumn("__ccos",
+                          F.expr(_DOT.format(a=f"{out_id}_vec",
+                                             b="centroid"))
+                          / (F.col(f"{out_id}_norm") * F.col("c_norm"))))
+    if nprobe == 1:
+        # max(struct) keeps the highest cosine; -list_id makes ties
+        # resolve to the LOWEST list id, matching the oracle's
+        # "order by cos desc, list_id" row_number.
+        return (scored.groupBy(out_id, f"{out_id}_vec", f"{out_id}_norm")
+                .agg(F.max(F.struct(F.col("__ccos").alias("c"),
+                                    (-F.col("list_id")).alias("nl")))
+                     .alias("__m"))
+                .withColumn("list_id", -F.col("__m.nl"))
+                .drop("__m"))
+    w = Window.partitionBy(out_id).orderBy(F.desc("__ccos"),
+                                           F.asc("list_id"))
+    return (scored.withColumn("__pr", F.row_number().over(w))
+            .filter(F.col("__pr") <= nprobe)
+            .select(out_id, f"{out_id}_vec", f"{out_id}_norm", "list_id"))
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
+             vec_col: str, label_col: str, dim: int, k: int = 5,
+             nprobe: int = 3) -> DataFrame:
+    """IVF (inverted-file) ANN: assign every corpus vector to its
+    nearest coarse centroid (its *list*), probe each query against the
+    ``nprobe`` nearest lists only, exact cosine re-rank inside them.
+    Scale shape: codebook is broadcast both times; the corpus is
+    shuffled ONCE by list_id for the candidate equi-join; with
+    n_lists ≫ nprobe the re-rank touches ~nprobe/n_lists of the
+    corpus.  Complements sign-LSH (`lsh_bucketed_topk`): IVF adapts
+    to the data distribution, LSH is data-independent."""
+    cents = label_centroids(corpus, vec_col, label_col, dim)
+    n = _nearest_lists(_with_norm(corpus, id_col, vec_col, "neighbor_id"),
+                       cents, "neighbor_id", nprobe=1)
+    q = _nearest_lists(_with_norm(queries, id_col, vec_col, "query_id"),
+                       cents, "query_id", nprobe=nprobe)
+    pairs = (q.join(n, "list_id")
+             .filter(F.col("neighbor_id") != F.col("query_id"))
+             .withColumn("cosine",
+                         F.expr(_DOT.format(a="query_id_vec",
+                                            b="neighbor_id_vec"))
+                         / (F.col("query_id_norm")
+                            * F.col("neighbor_id_norm"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "rnk",
+                    F.round("cosine", 6).alias("cosine")))
+
+
+def ivf_list_sizes(corpus: DataFrame, id_col: str, vec_col: str,
+                   label_col: str, dim: int) -> DataFrame:
+    """(list_id, n_vectors): the IVF partition histogram — the skew
+    diagnostic you'd watch before trusting nprobe at scale."""
+    cents = label_centroids(corpus, vec_col, label_col, dim)
+    n = _nearest_lists(_with_norm(corpus, id_col, vec_col, "neighbor_id"),
+                       cents, "neighbor_id", nprobe=1)
+    return (n.groupBy("list_id")
+            .agg(F.count(F.lit(1)).alias("n_vectors")))
+
+
 def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
                       vec_col: str, k: int = 5, nbits: int = 8,
                       probe_radius: int = 2) -> DataFrame:

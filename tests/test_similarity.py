@@ -9,7 +9,8 @@ import os
 
 from pyspark.sql import functions as F
 
-from lacspark.spark.similarity import cosine_topk, lsh_bucketed_topk
+from lacspark.spark.similarity import (cosine_topk, ivf_list_sizes,
+                                       ivf_topk, lsh_bucketed_topk)
 
 SF_DIR = os.environ.get("LACSPARK_TEST_SF", "/root/testdata/sf0.001")
 
@@ -41,3 +42,33 @@ def test_lsh_recall_at_5(spark):
     # conservative floor
     assert r2 > r0
     assert r2 >= 0.15, f"multi-probe recall@5 collapsed: {r2}"
+
+
+def test_ivf_recall_beats_probe_fraction(spark):
+    """IVF with nprobe lists must (a) recall more of the exact top-5
+    as nprobe grows and (b) at nprobe = n_lists degenerate to exact
+    brute force (every list probed → full scan, so recall = 1)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = _topk_sets(cosine_topk(queries, emb, "vec_id", "embedding", k=5))
+
+    def recall(nprobe: int) -> float:
+        approx = _topk_sets(ivf_topk(
+            queries, emb, "vec_id", "embedding", "label", 64,
+            k=5, nprobe=nprobe))
+        per_q = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+                 for q in exact]
+        return sum(per_q) / len(per_q)
+
+    r1, r3, r_all = recall(1), recall(3), recall(10)
+    assert r3 >= r1
+    assert r3 >= 0.2, f"ivf nprobe=3 recall@5 collapsed: {r3}"
+    assert r_all == 1.0, f"nprobe=n_lists must be exact, got {r_all}"
+
+
+def test_ivf_lists_partition_corpus(spark):
+    """Every corpus vector lands in exactly one inverted list."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sizes = ivf_list_sizes(emb, "vec_id", "embedding", "label", 64).collect()
+    assert sum(r.n_vectors for r in sizes) == emb.count()
+    assert len(sizes) <= 10

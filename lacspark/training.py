@@ -14,8 +14,10 @@ and a minimal incremental CRF trainer.
   the transition/start/stop parameters, plus (``fit_emissions=True``)
   the linear emission head fc_w/fc_b — enough to adapt both the
   decoder and the label scores to new annotation, deterministic, no
-  Paddle.  The recurrent stack stays frozen (declared scope,
-  SURVEY §3.3; the reference trains it with Adam, nets.py:276-359).
+  Paddle.  The recurrent stack stays frozen HERE; full-network
+  training (backprop through the Bi-GRU stack + embeddings, Adam,
+  Spark data-parallel — the reference's nets.py:276-359) lives in
+  `lacspark.train_full`.
 """
 
 from __future__ import annotations

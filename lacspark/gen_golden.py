@@ -284,10 +284,36 @@ def gen_multimodal() -> None:
     print(f"multimodal_features: {n} rows")
 
 
+def gen_multimodal_real() -> None:
+    """≡ synth_real_media(n=120) + the REAL stdlib decode
+    (PNG/BMP/WAV/frames-v1) — same pure functions the Spark extractor
+    calls, run without Spark.  sf-independent → golden root."""
+    from .spark.multimodal import media_decode_row, synth_media_payload
+    rows = []
+    for i in range(120):
+        kind, payload, fmt = synth_media_payload(i)
+        w, h, f0, f1, f2, f3 = media_decode_row(kind, payload)
+        rows.append((i, kind, fmt, len(payload), int(w), int(h),
+                     float(f0), float(f1), float(f2), float(f3)))
+    n = _write("multimodal_decode_stats", {
+        "media_id": ([r[0] for r in rows], pa.int64()),
+        "kind": ([r[1] for r in rows], pa.string()),
+        "meta_format": ([r[2] for r in rows], pa.string()),
+        "n_bytes": ([r[3] for r in rows], pa.int64()),
+        "width": ([r[4] for r in rows], pa.int32()),
+        "height": ([r[5] for r in rows], pa.int32()),
+        "f0": ([r[6] for r in rows], pa.float64()),
+        "f1": ([r[7] for r in rows], pa.float64()),
+        "f2": ([r[8] for r in rows], pa.float64()),
+        "f3": ([r[9] for r in rows], pa.float64())})
+    print(f"multimodal_decode_stats: {n} rows")
+
+
 def main() -> None:
     for tag, sf_dir in SF_DIRS.items():
         gen_for_sf(tag, sf_dir)
     gen_multimodal()
+    gen_multimodal_real()
     print(f"goldens written to {GOLDEN_DIR}")
 
 

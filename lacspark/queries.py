@@ -931,6 +931,19 @@ def ann_ivf_topk(spark, sf_dir):
         .select("query_id", "neighbor_id", "rnk")
 
 
+@register("multimodal_decode_stats",
+          _golden_sql("multimodal_decode_stats", per_sf=False))
+def multimodal_decode_stats(spark, sf_dir):
+    """REAL multimodal decode — no fake: PNG/BMP images through the
+    stdlib zlib decoder, PCM WAV through ``wave``, frames/v1 video
+    through the frame sampler (every 2nd frame), all inside one
+    Arrow-batched mapInPandas.  Scalar projection (width/height +
+    4 per-kind features).  Oracle = golden parquet from the identical
+    pure-python decode run without Spark."""
+    from .spark.multimodal import extract_real_features, synth_real_media
+    return extract_real_features(synth_real_media(spark, n=120))
+
+
 @register("multimodal_features",
           _golden_sql("multimodal_features", per_sf=False))
 def multimodal_features(spark, sf_dir):

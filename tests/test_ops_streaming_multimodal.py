@@ -29,9 +29,65 @@ def test_multimodal_feature_plumbing(spark):
     assert all(again[r.media_id] == r.payload_sha for r in rows)
 
 
-def test_real_decode_is_explicit_stub():
+def test_decode_raises_only_for_codec_needing_formats():
+    # JPEG genuinely needs an external codec; PNG/BMP do not
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff")
+        decode_image(b"\xff\xd8\xff" + b"\x00" * 16)
+
+
+def test_stdlib_codecs_roundtrip():
+    import numpy as np
+
+    from lacspark.spark.multimodal import (decode_bmp, decode_frames,
+                                           decode_png, decode_wav,
+                                           encode_bmp, encode_frames,
+                                           encode_png, encode_wav,
+                                           resize_nearest)
+    rng = np.random.default_rng(11)
+    for shape in [(20, 31, 3), (7, 5, 4), (13, 9)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = decode_png(encode_png(img))
+        assert out.shape == img.shape and (out == img).all()
+    img = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+    assert decode_image(encode_bmp(img)).shape == (11, 7, 3)
+    samples = (1000 * np.sin(np.arange(500) / 7.0)).astype(np.int16)
+    s2, rate = decode_wav(encode_wav(samples, 8000))
+    assert rate == 8000 and (s2[:, 0] == samples).all()
+    frames = [rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8)
+              for _ in range(5)]
+    dec = decode_frames(encode_frames(frames), every=2)
+    assert len(dec) == 3
+    assert all((a == b).all() for a, b in zip(dec, frames[::2]))
+    rz = resize_nearest(img, 4, 3)
+    assert rz.shape == (3, 4, 3)
+
+
+def test_real_media_pipeline_decode_resize(spark):
+    """synth → REAL decode/feature-extract → resize → re-decode: the
+    resized payloads decode to the target shape; non-images pass
+    through with an explicit skip status."""
+    from lacspark.spark.multimodal import (decode_image,
+                                           extract_real_features,
+                                           resize_images,
+                                           synth_real_media)
+    media = synth_real_media(spark, n=24).repartition(5)
+    feats = extract_real_features(media).collect()
+    assert len(feats) == 24
+    by_kind = {r.kind for r in feats}
+    assert by_kind == {"image", "audio", "video"}
+    for r in feats:
+        if r.kind == "image":
+            assert r.width >= 16 and r.height >= 16
+        if r.kind == "audio":
+            assert r.f0 == 8000.0        # sample rate
+    resized = resize_images(media, 8, 8).collect()
+    for r in resized:
+        if r.kind == "image":
+            assert r.resize_status == "resized"
+            assert decode_image(bytes(r.payload)).shape == (8, 8, 3)
+        else:
+            assert r.resize_status == "skipped:not-image"
 
 
 def test_ann_exact_topk_sane(spark):

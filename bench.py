@@ -86,6 +86,7 @@ def main() -> None:
         "dedup_jaccard_adjacent", "quality_score", "token_class_counts",
         "doc_fingerprint", "lang_id_heuristic",
         "ann_bruteforce_top5", "ann_lsh_topk", "ann_lsh_buckets",
+        "ann_ivf_topk", "multimodal_decode_stats",
         "token_minhash_canonical",
     ]
     for name in bench_queries:

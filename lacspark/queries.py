@@ -486,7 +486,10 @@ def _minhash_select_duck(n: int) -> str:
         for i in range(n))
 
 
-@register("dedup_minhash_lsh", f"""
+def _minhash_pairs_duck() -> str:
+    """DuckDB replica of the full minhash/LSH near-dup pipeline —
+    shared by dedup_minhash_lsh and dedup_near_keep_best."""
+    return f"""
     with toks as ({_DUCK_TOKENS}),
     tsets as (
         select distinct doc_id, token from (
@@ -528,7 +531,10 @@ def _minhash_select_duck(n: int) -> str:
     join sz s2 on s2.doc_id = c.d2
     where coalesce(i.n_inter, 0) * 1.0 /
           (s1.sz + s2.sz - coalesce(i.n_inter, 0)) >= 0.9
-""")
+"""
+
+
+@register("dedup_minhash_lsh", _minhash_pairs_duck())
 def dedup_minhash_lsh(spark, sf_dir):
     """Near-dup detection: token-set minhash (6 hashes, 3 bands of 2)
     → banded candidate join → exact-jaccard verification ≥ 0.9.
@@ -538,6 +544,74 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_near_duplicates(load(spark, sf_dir, "documents"),
                                    "doc_id", "text", num_hashes=6,
                                    band_size=2, threshold=0.9)
+
+
+@register("dedup_near_keep_best", f"""
+    with pairs as ({_minhash_pairs_duck()}),
+    sym as (select d1 as a, d2 as b from pairs
+            union all
+            select d2, d1 from pairs),
+    ln as (select doc_id, length(text) as ln from documents),
+    ranked as (
+        select s.a, s.b, la.ln as ln_a, lb.ln as ln_b,
+               row_number() over (partition by s.a
+                                  order by lb.ln desc, s.b) as rn
+        from sym s
+        join ln la on la.doc_id = s.a
+        join ln lb on lb.doc_id = s.b)
+    select a as dropped_id, b as kept_id from ranked
+    where rn = 1 and (ln_b > ln_a or (ln_b = ln_a and b < a))
+""")
+def dedup_near_keep_best(spark, sf_dir):
+    """Greedy near-dup pruning: a document is DROPPED when any
+    verified near-duplicate neighbor beats it (longer text, then
+    lower doc_id); its keeper is its best neighbor.  One window over
+    the symmetric pair list — the standard one-hop resolution pass
+    that follows LSH dedup in training-data pipelines (transitive
+    closure is `connected_components` when full clusters are needed).
+    """
+    docs = load(spark, sf_dir, "documents")
+    from .spark.dedup import minhash_near_duplicates
+    pairs = minhash_near_duplicates(docs, "doc_id", "text", num_hashes=6,
+                                    band_size=2, threshold=0.9)
+    sym = (pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+           .union(pairs.select(F.col("d2").alias("a"),
+                               F.col("d1").alias("b"))))
+    ln = docs.select("doc_id", F.length("text").alias("ln"))
+    j = (sym.join(ln.select(F.col("doc_id").alias("a"),
+                            F.col("ln").alias("ln_a")), "a")
+         .join(ln.select(F.col("doc_id").alias("b"),
+                         F.col("ln").alias("ln_b")), "b"))
+    w = Window.partitionBy("a").orderBy(F.desc("ln_b"), F.asc("b"))
+    return (j.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1)
+                    & ((F.col("ln_b") > F.col("ln_a"))
+                       | ((F.col("ln_b") == F.col("ln_a"))
+                          & (F.col("b") < F.col("a")))))
+            .select(F.col("a").alias("dropped_id"),
+                    F.col("b").alias("kept_id")))
+
+
+@register("sample_stratified", f"""
+    select lang,
+           count(*) as n_total,
+           sum(case when ({_MD5INT_DUCK.format(
+               x="'smp:' || doc_id::VARCHAR")}) % 100 < 10
+               then 1 else 0 end) as n_sampled
+    from documents group by lang
+""")
+def sample_stratified(spark, sf_dir):
+    """Deterministic hash sampling with per-stratum accounting: the
+    keep decision is md5(doc_id) % 100 < rate — reproducible across
+    engines, runs, and partitionings (rand()-based sampling is not),
+    which is what makes training-data splits auditable.  Pure
+    projection + one aggregate; no shuffle beyond the groupBy."""
+    d = load(spark, sf_dir, "documents")
+    keep = (F.expr(_MD5INT_SPARK.format(
+        x="concat('smp:', cast(doc_id as string))")) % 100 < 10)
+    return (d.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.sum(keep.cast("long")).alias("n_sampled")))
 
 
 @register("dedup_simhash", f"""

@@ -111,9 +111,14 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     returning partially-converged labels; ``max_iter`` is a runaway
     guard that raises rather than silently mislabeling.
     """
-    n_edges = edges.limit(driver_threshold + 1).count()
-    n_vertices = vertices.limit(driver_threshold + 1).count()
-    if n_edges <= driver_threshold and n_vertices <= driver_threshold:
+    # probe-by-collect: the limit(threshold+1) collect IS the size
+    # probe AND the data fetch — one job each instead of count+collect
+    edge_rows = edges.select("src", "dst") \
+        .limit(driver_threshold + 1).collect()
+    vert_rows = (vertices.limit(driver_threshold + 1).collect()
+                 if len(edge_rows) <= driver_threshold else [])
+    if len(edge_rows) <= driver_threshold and \
+            len(vert_rows) <= driver_threshold:
         spark = vertices.sparkSession
         parent: dict[str, str] = {}
 
@@ -125,13 +130,13 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
                 parent[x], x = root, parent[x]
             return root
 
-        for r in edges.select("src", "dst").collect():
+        for r in edge_rows:
             ra, rb = find(r.src), find(r.dst)
             if ra != rb:
                 # deterministic: smaller label becomes the root
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        rows = [(r.form, find(r.form)) for r in vertices.collect()]
+        rows = [(r.form, find(r.form)) for r in vert_rows]
         return spark.createDataFrame(rows, "form string, canonical string")
     # Orient every edge (hi, lo); both star operations preserve the
     # orientation, so `lo` is always the smaller label.

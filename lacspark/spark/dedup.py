@@ -98,13 +98,18 @@ def lsh_candidates(sigs: DataFrame, id_col: str, num_hashes: int = 6,
     corpus scale (the dropped docs still dedup via the exact pass)."""
     from pyspark.sql.window import Window
 
-    bands = None
-    for band in range(num_hashes // band_size):
-        cols = [f"mh{band * band_size + j}" for j in range(band_size)]
-        part = sigs.select(
-            F.col(id_col), F.lit(band).alias("band"),
-            F.md5(F.concat_ws(",", *cols)).alias("bkey"))
-        bands = part if bands is None else bands.union(part)
+    # ONE pass over the signatures: all band keys in a single array
+    # projection, then posexplode.  (A union of per-band selects
+    # recomputes the whole minhash projection once per band — 3× the
+    # md5 work for 3 bands.)
+    band_arr = F.array(*[
+        F.md5(F.concat_ws(",", *[
+            F.col(f"mh{band * band_size + j}").cast("string")
+            for j in range(band_size)]))
+        for band in range(num_hashes // band_size)])
+    bands = sigs.select(
+        F.col(id_col),
+        F.posexplode(band_arr).alias("band", "bkey"))
     if max_bucket is not None:
         bands = (bands.withColumn(
             "__n", F.count(F.lit(1)).over(

@@ -88,34 +88,65 @@ def label_centroids(corpus: DataFrame, vec_col: str, label_col: str,
                     .alias("centroid")))
 
 
-def _nearest_lists(df: DataFrame, centroids: DataFrame, out_id: str,
+def collect_codebook(corpus: DataFrame, vec_col: str, label_col: str,
+                     dim: int) -> tuple[list[int], list[list[float]]]:
+    """Materialize the (tiny) centroid codebook on the driver —
+    (list_ids sorted ascending, norm-scaled centroid vectors).
+    Scaling each centroid by 1/‖c‖ makes cosine ranking equal plain
+    dot-product ranking, so the assignment needs neither norm at
+    evaluation time."""
+    import math
+
+    rows = label_centroids(corpus, vec_col, label_col, dim).collect()
+    rows.sort(key=lambda r: r.list_id)
+    ids, cents = [], []
+    for r in rows:
+        nrm = math.sqrt(sum(v * v for v in r.centroid)) or 1.0
+        ids.append(int(r.list_id))
+        cents.append([float(v) / nrm for v in r.centroid])
+    return ids, cents
+
+
+def _nearest_lists(df: DataFrame, codebook, out_id: str,
                    nprobe: int) -> DataFrame:
     """(out_id, *vec cols, list_id) for the ``nprobe`` centroids
-    nearest by cosine.  Centroids are broadcast (tiny), so the
-    cross-join is a map-side fan-out by n_labels; for nprobe == 1 the
-    argmax is a partial-aggregating max_by (no window shuffle)."""
-    cent = (centroids
-            .withColumn("c_norm", F.expr(
-                "sqrt(" + _DOT.format(a="centroid", b="centroid") + ")")))
-    scored = (df.crossJoin(F.broadcast(cent))
-              .withColumn("__ccos",
-                          F.expr(_DOT.format(a=f"{out_id}_vec",
-                                             b="centroid"))
-                          / (F.col(f"{out_id}_norm") * F.col("c_norm"))))
+    nearest by cosine — ZERO shuffle: the codebook rides along as a
+    literal array-of-arrays (it is small by construction; on a real
+    cluster this is exactly a broadcast), scores are a transform over
+    it, and the argmax/top-nprobe run inside the same projection.
+    array_position takes the FIRST maximum → ties resolve to the
+    lowest list id, matching the oracle's "order by cos desc,
+    list_id" row_number."""
+    list_ids, cents = codebook
+    # single nested literals (one Literal node each) — a per-element
+    # F.array(F.lit…) tree of n_lists × dim nodes costs seconds of
+    # codegen compile before the first row is read
+    cb = F.lit([[float(v) for v in c] for c in cents])
+    ids_lit = F.lit([int(i) for i in list_ids])
+    dot = _DOT.format(a=f"{out_id}_vec", b="c")
+    scored = (df.withColumn("__cb", cb)
+              .withColumn("__scores",
+                          F.expr(f"transform(__cb, c -> {dot})")))
     if nprobe == 1:
-        # max(struct) keeps the highest cosine; -list_id makes ties
-        # resolve to the LOWEST list id, matching the oracle's
-        # "order by cos desc, list_id" row_number.
-        return (scored.groupBy(out_id, f"{out_id}_vec", f"{out_id}_norm")
-                .agg(F.max(F.struct(F.col("__ccos").alias("c"),
-                                    (-F.col("list_id")).alias("nl")))
-                     .alias("__m"))
-                .withColumn("list_id", -F.col("__m.nl"))
-                .drop("__m"))
-    w = Window.partitionBy(out_id).orderBy(F.desc("__ccos"),
-                                           F.asc("list_id"))
-    return (scored.withColumn("__pr", F.row_number().over(w))
-            .filter(F.col("__pr") <= nprobe)
+        pick = ("element_at(__ids, cast(array_position(__scores, "
+                "array_max(__scores)) as int))")
+        return (scored.withColumn("__ids", ids_lit)
+                .withColumn("list_id", F.expr(pick))
+                .select(out_id, f"{out_id}_vec", f"{out_id}_norm",
+                        "list_id"))
+    # rank (score desc, index asc) inside the projection, then take
+    # the first nprobe indices — still no shuffle
+    n = len(list_ids)
+    ranked = (f"array_sort(zip_with(__scores, sequence(0, {n - 1}), "
+              f"(s, i) -> struct(s as s, i as i)), "
+              f"(l, r) -> case when l.s > r.s then -1 "
+              f"when l.s < r.s then 1 "
+              f"when l.i < r.i then -1 when l.i > r.i then 1 "
+              f"else 0 end)")
+    probes = (f"transform(slice({ranked}, 1, {nprobe}), "
+              f"x -> element_at(__ids, cast(x.i as int) + 1))")
+    return (scored.withColumn("__ids", ids_lit)
+            .withColumn("list_id", F.explode(F.expr(probes)))
             .select(out_id, f"{out_id}_vec", f"{out_id}_norm", "list_id"))
 
 
@@ -125,16 +156,19 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
     """IVF (inverted-file) ANN: assign every corpus vector to its
     nearest coarse centroid (its *list*), probe each query against the
     ``nprobe`` nearest lists only, exact cosine re-rank inside them.
-    Scale shape: codebook is broadcast both times; the corpus is
-    shuffled ONCE by list_id for the candidate equi-join; with
-    n_lists ≫ nprobe the re-rank touches ~nprobe/n_lists of the
-    corpus.  Complements sign-LSH (`lsh_bucketed_topk`): IVF adapts
-    to the data distribution, LSH is data-independent."""
-    cents = label_centroids(corpus, vec_col, label_col, dim)
+    Scale shape: ONE aggregate builds the codebook (constant-size,
+    collected to the driver and shipped back as literals — the
+    broadcast pattern); list assignment is a pure projection with no
+    shuffle; the only data movement is the candidate equi-join on
+    list_id; with n_lists ≫ nprobe the re-rank touches
+    ~nprobe/n_lists of the corpus.  Complements sign-LSH
+    (`lsh_bucketed_topk`): IVF adapts to the data distribution, LSH
+    is data-independent."""
+    cb = collect_codebook(corpus, vec_col, label_col, dim)
     n = _nearest_lists(_with_norm(corpus, id_col, vec_col, "neighbor_id"),
-                       cents, "neighbor_id", nprobe=1)
+                       cb, "neighbor_id", nprobe=1)
     q = _nearest_lists(_with_norm(queries, id_col, vec_col, "query_id"),
-                       cents, "query_id", nprobe=nprobe)
+                       cb, "query_id", nprobe=nprobe)
     pairs = (q.join(n, "list_id")
              .filter(F.col("neighbor_id") != F.col("query_id"))
              .withColumn("cosine",
@@ -154,9 +188,9 @@ def ivf_list_sizes(corpus: DataFrame, id_col: str, vec_col: str,
                    label_col: str, dim: int) -> DataFrame:
     """(list_id, n_vectors): the IVF partition histogram — the skew
     diagnostic you'd watch before trusting nprobe at scale."""
-    cents = label_centroids(corpus, vec_col, label_col, dim)
+    cb = collect_codebook(corpus, vec_col, label_col, dim)
     n = _nearest_lists(_with_norm(corpus, id_col, vec_col, "neighbor_id"),
-                       cents, "neighbor_id", nprobe=1)
+                       cb, "neighbor_id", nprobe=1)
     return (n.groupBy("list_id")
             .agg(F.count(F.lit(1)).alias("n_vectors")))
 

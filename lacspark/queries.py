@@ -574,9 +574,12 @@ def dedup_near_keep_best(spark, sf_dir):
     from .spark.dedup import minhash_near_duplicates
     pairs = minhash_near_duplicates(docs, "doc_id", "text", num_hashes=6,
                                     band_size=2, threshold=0.9)
-    sym = (pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
-           .union(pairs.select(F.col("d2").alias("a"),
-                               F.col("d1").alias("b"))))
+    # symmetrize with ONE explode, not a union — a union's two
+    # branches each recompute the whole minhash/LSH DAG upstream
+    sym = pairs.select(F.explode(F.array(
+        F.struct(F.col("d1").alias("a"), F.col("d2").alias("b")),
+        F.struct(F.col("d2").alias("a"), F.col("d1").alias("b"))))
+        .alias("p")).select("p.a", "p.b")
     ln = docs.select("doc_id", F.length("text").alias("ln"))
     j = (sym.join(ln.select(F.col("doc_id").alias("a"),
                             F.col("ln").alias("ln_a")), "a")

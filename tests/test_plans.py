@@ -42,6 +42,35 @@ def test_aggregates_are_partial_final(spark):
     assert "partial_sum" in plan  # map-side combine before the shuffle
 
 
+def test_ivf_assignment_is_shuffle_free(spark):
+    """The IVF nearest-list assignment must stay a pure projection:
+    codebook as literal, scores/argmax inside the same project — no
+    Exchange, no Join before the final candidate equi-join."""
+    from lacspark.spark.similarity import (_nearest_lists, _with_norm,
+                                           collect_codebook)
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cb = collect_codebook(e, "embedding", "label", 64)
+    assign = _nearest_lists(_with_norm(e, "vec_id", "embedding", "n"),
+                            cb, "n", nprobe=1)
+    plan = plan_of(assign)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_keep_best_scans_documents_bounded(spark):
+    """dedup_near_keep_best symmetrizes pairs with ONE explode; a
+    union formulation re-executes the whole minhash DAG per branch
+    (visible as extra parquet scans of documents)."""
+    def scans(name):
+        plan = plan_of(SPARK_QUERIES[name](spark, SF))
+        return sum(1 for ln in plan.splitlines()
+                   if "Scan parquet" in ln or "FileScan parquet" in ln)
+
+    # keep-best = the minhash DAG once + exactly two length lookups;
+    # a union symmetrization would duplicate the whole upstream DAG
+    assert scans("dedup_near_keep_best") <= scans("dedup_minhash_lsh") + 2
+
+
 def test_no_cartesian_products_in_oracle_suite(spark):
     # ann_bruteforce intentionally cross-joins a 10-row query set;
     # everything else must stay free of cartesian products

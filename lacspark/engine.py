@@ -73,6 +73,80 @@ class LacEngine:
         self.custom.add_entry(line, sep)
         self.custom.matcher.finalize()
 
+    def load_customization(self, customization_file: str,
+                           sep: str | None = None) -> None:
+        """Load a user dictionary (lac.py:94-102 load_customization)."""
+        self.custom = Customization()
+        self.custom.load(customization_file, sep)
+
+    # ------------------------------------------------------------------
+    def train(self, model_save_dir: str, train_data: str,
+              test_data: str | None = None, iter_num: int = 10,
+              mode: str = "lac", lr: float = 1e-2,
+              spark=None) -> dict:
+        """Incremental training with the reference's file interface
+        (lac.py:83-92 → models.py:177-210): read a labeled corpus,
+        fine-tune the FULL network (Adam on the CRF NLL, backprop
+        through the Bi-GRU stack — lacspark.train_full), save the
+        updated weights under ``model_save_dir``, hot-reload them into
+        this engine, and (optionally) report chunk P/R/F1 on
+        ``test_data``.  Pass a SparkSession to run the gradient
+        epochs data-parallel (nets.py:335-346)."""
+        from .train_full import fit_full_local, fit_full_spark
+        from .training import parse_seg_line, parse_tagged_line
+
+        net = self.lac_net if mode == "lac" else self.seg_net
+        labels_list = LAC_LABELS if mode == "lac" else SEG_LABELS
+        lab2id = {l: i for i, l in enumerate(labels_list)}
+        parse = parse_tagged_line if mode == "lac" else parse_seg_line
+
+        def read_rows(path: str):
+            rows = []
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    text, labels = parse(line)
+                    if not labels or any(l not in lab2id for l in labels):
+                        continue
+                    ids = np.asarray(self.encoder.encode_chars(text),
+                                     dtype=np.int64)
+                    if len(ids) != len(labels):
+                        continue
+                    rows.append((text, ids,
+                                 np.asarray([lab2id[l] for l in labels],
+                                            dtype=np.int64)))
+            return rows
+
+        rows = read_rows(train_data)
+        if not rows:
+            raise ValueError(f"no trainable rows in {train_data}")
+        id_seqs = [r[1] for r in rows]
+        label_seqs = [r[2] for r in rows]
+        if spark is not None:
+            df = spark.createDataFrame(
+                [(s.tolist(), l.tolist())
+                 for s, l in zip(id_seqs, label_seqs)],
+                "ids array<long>, labels array<long>").cache()
+            trace = fit_full_spark(spark, df, net, lr=lr, epochs=iter_num)
+        else:
+            trace = fit_full_local(net, id_seqs, label_seqs, lr=lr,
+                                   epochs=iter_num)
+        os.makedirs(model_save_dir, exist_ok=True)
+        out_path = os.path.join(
+            model_save_dir,
+            "lac_weights.npz" if mode == "lac" else "seg_weights.npz")
+        np.savez(out_path, **net.w)
+        result = {"nll_trace": trace, "model_path": out_path}
+        if test_data:
+            from .training import chunk_prf
+            test_rows = read_rows(test_data)
+            pairs = []
+            for text, ids, lab_ids in test_rows:
+                pred = net.decode([ids])[0]
+                pairs.append(([labels_list[i] for i in lab_ids],
+                              [labels_list[i] for i in pred]))
+            result.update(chunk_prf(pairs))
+        return result
+
     # ------------------------------------------------------------------
     def run_batch(self, texts: list[str], mode: str = "lac",
                   dedupe: bool = True) -> list[Analysis]:

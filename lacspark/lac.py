@@ -1,0 +1,78 @@
+"""Drop-in ``LAC`` facade with the reference's python API and return
+shapes (/root/reference/python/LAC/lac.py:41-112, models.py:238-345):
+
+* ``LAC(mode='seg'|'lac'|'rank').run(text_or_list)``
+  - seg:  batch → ``[words, …]``;        single → ``words``
+  - lac:  batch → ``[[words, tags], …]``; single → ``[words, tags]``
+  - rank: batch → ``[[words, tags, ranks], …]``; single → same, flat
+* ``train(model_save_dir, train_data, test_data=None, iter_num=10)``
+* ``load_customization(file, sep=None)`` / ``add_word(line, sep=None)``
+
+A user of the reference switches imports (``from lacspark.lac import
+LAC``) and keeps their calling code; the engine underneath is the
+numpy/Spark one (weights are this repo's deterministic fixtures, not
+Paddle's published model).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .engine import LacEngine
+
+
+class LAC:
+    def __init__(self, model_path: str | None = None, mode: str = "lac",
+                 use_cuda: bool = False):
+        if mode not in ("seg", "lac", "rank"):
+            raise ValueError(f"mode must be seg|lac|rank, got {mode!r}")
+        self.mode = mode
+        self.engine = LacEngine()
+        # model_path ≙ the reference's retrained-model dir: weights
+        # saved by LAC.train / LacEngine.train load over the packaged
+        # dictionaries (models.py:209 load_model).
+        if model_path:
+            for fname, net in (("lac_weights.npz", self.engine.lac_net),
+                               ("seg_weights.npz", self.engine.seg_net)):
+                p = os.path.join(model_path, fname)
+                if os.path.exists(p):
+                    npz = np.load(p)
+                    net.w.update({k: npz[k] for k in npz.files})
+                    if hasattr(net, "_stacks"):
+                        del net._stacks
+                    net.refresh_crf()
+
+    # ------------------------------------------------------------------
+    def run(self, texts):
+        """Single string or list → reference-shaped results."""
+        batch = isinstance(texts, (list, tuple))
+        rows = list(texts) if batch else [texts]
+        out = self.engine.run_batch(rows, mode=self.mode)
+        if self.mode == "seg":
+            res = [a.words for a in out]
+        elif self.mode == "lac":
+            res = [[a.words, a.tags] for a in out]
+        else:
+            res = [[a.words, a.tags, a.ranks] for a in out]
+        return res if batch else res[0]
+
+    # ------------------------------------------------------------------
+    def train(self, model_save_dir: str, train_data: str,
+              test_data: str | None = None, iter_num: int = 10,
+              thread_num: int = 10) -> dict:
+        """Incremental training, reference signature (lac.py:83-92).
+        ``thread_num`` is accepted for parity; parallel training is
+        the Spark path (LacEngine.train(spark=…))."""
+        mode = "seg" if self.mode == "seg" else "lac"
+        return self.engine.train(model_save_dir, train_data,
+                                 test_data=test_data, iter_num=iter_num,
+                                 mode=mode)
+
+    def load_customization(self, customization_file: str,
+                           sep: str | None = None) -> None:
+        self.engine.load_customization(customization_file, sep)
+
+    def add_word(self, word: str, sep: str | None = None) -> None:
+        self.engine.add_word(word, sep)

@@ -88,6 +88,7 @@ def main() -> None:
         "ann_bruteforce_top5", "ann_lsh_topk", "ann_lsh_buckets",
         "ann_ivf_topk", "multimodal_decode_stats",
         "dedup_near_keep_best", "sample_stratified",
+        "pack_sequences", "contamination_check",
         "token_minhash_canonical",
     ]
     for name in bench_queries:

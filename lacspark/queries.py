@@ -759,6 +759,85 @@ def token_class_counts(spark, sf_dir):
         .alias("n_bpe_ish"))
 
 
+@register("pack_sequences", """
+    with t as (select doc_id, lang,
+                      length(string_split(text, ' '))
+                          - length(list_filter(string_split(text, ' '),
+                                               x -> length(x) = 0))
+                          as n_tokens
+               from documents)
+    select doc_id, lang, n_tokens,
+           ((sum(n_tokens) over w) - n_tokens) as stream_offset,
+           (((sum(n_tokens) over w) - n_tokens) // 512)::BIGINT as pack_id
+    from t
+    window w as (partition by lang order by doc_id
+                 rows between unbounded preceding and current row)
+""")
+def pack_sequences(spark, sf_dir):
+    """Greedy sequence packing for pretraining: documents are laid
+    head-to-tail per language stream and cut into 512-token packs
+    (pack_id = floor(stream_offset / 512)).  One running-sum window
+    per lang partition — at corpus scale the stream key is
+    (lang, shard) so no partition exceeds executor memory, and pack
+    ids are offset by per-shard totals computed in a second tiny agg
+    (hierarchical packing); the per-stream plan here is that inner
+    step."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split("text", " "),
+                           lambda x: F.length(x) > 0))
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (d.select("doc_id", "lang", toks.alias("n_tokens"))
+            .withColumn("stream_offset",
+                        F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            .withColumn("pack_id",
+                        (F.col("stream_offset") / 512)
+                        .cast("bigint")))
+
+
+def _contamination_duck(n: int = 8) -> str:
+    leads = " || ' ' || ".join(
+        "token" if i == 0 else f"lead(token, {i}) over w"
+        for i in range(n))
+    return f"""
+    with toks as ({_DUCK_TOKENS}),
+    grams as (
+        select distinct doc_id, g from (
+            select doc_id, {leads} as g,
+                   lead(token, {n - 1}) over w as t_last
+            from toks
+            window w as (partition by doc_id order by pos))
+        where t_last is not null),
+    ev as (select doc_id, g from grams where doc_id % 20 = 0),
+    tr as (select doc_id, g from grams where doc_id % 20 != 0)
+    select tr.doc_id as train_doc_id, ev.doc_id as eval_doc_id,
+           count(*) as n_shared_grams
+    from tr join ev using (g)
+    group by 1, 2
+"""
+
+
+@register("contamination_check", _contamination_duck(8))
+def contamination_check(spark, sf_dir):
+    """Train/eval contamination: flag train documents sharing any
+    8-token shingle with a held-out doc (doc_id % 20 = 0 plays the
+    eval set).  Shingles are projection-built arrays (no
+    explode/distinct shuffle until the final equi-join on the gram
+    hash); at corpus scale the join keys are md5 ints, the eval side
+    is small → broadcast."""
+    from .spark.dedup import shingle_sets
+    d = load(spark, sf_dir, "documents")
+    grams = (shingle_sets(d, "doc_id", "text", n=8)
+             .select("doc_id", F.explode("shset").alias("g")))
+    ev = grams.filter(F.col("doc_id") % 20 == 0) \
+        .select(F.col("doc_id").alias("eval_doc_id"), "g")
+    tr = grams.filter(F.col("doc_id") % 20 != 0) \
+        .select(F.col("doc_id").alias("train_doc_id"), "g")
+    return (tr.join(F.broadcast(ev), "g")
+            .groupBy("train_doc_id", "eval_doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared_grams")))
+
+
 @register("doc_fingerprint", """
     select doc_id,
            md5(lower(regexp_replace(text, ' +', ' ', 'g'))) as fingerprint,

@@ -35,21 +35,39 @@ def _is_fs_path(location: str) -> bool:
 def write_table(df: DataFrame, location: str, table: str,
                 mode: str = "append",
                 partition_by: list[str] | None = None) -> None:
-    """Write df as <catalog>.<db>.<table> (Iceberg) or
-    <location>/<table> (parquet fallback).  Filesystem-path locations
-    always use parquet so writers and readers agree."""
+    """Write df as a managed table or a parquet path — three tiers,
+    call sites never branch:
+
+    1. V2 catalog configured + namespace location →
+       ``writeTo(<catalog>.<ns>.<table>)`` (Iceberg in production;
+       snapshot-atomic commits).
+    2. No V2 catalog + namespace location → SESSION-catalog managed
+       table (``saveAsTable``) — a real, executable catalog path in
+       this sandbox, same identifier shape as tier 1.
+    3. Filesystem-path location → plain parquet, so writers and
+       readers always agree on paths."""
     spark = df.sparkSession
-    cat = iceberg_catalog(spark)
-    if cat and not _is_fs_path(location):
-        ident = f"{cat}.{location}.{table}" if location else f"{cat}.{table}"
-        writer = df.writeTo(ident)
-        if mode == "overwrite":
-            writer.createOrReplace()
-        else:
-            try:
-                writer.append()
-            except Exception:
-                writer.create()
+    if not _is_fs_path(location):
+        cat = iceberg_catalog(spark)
+        if cat:
+            ident = (f"{cat}.{location}.{table}" if location
+                     else f"{cat}.{table}")
+            writer = df.writeTo(ident)
+            if mode == "overwrite":
+                writer.createOrReplace()
+            else:
+                try:
+                    writer.append()
+                except Exception:
+                    writer.create()
+            return
+        if location:
+            spark.sql(f"create database if not exists {location}")
+        ident = f"{location}.{table}" if location else table
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.saveAsTable(ident)
         return
     w = df.write.mode(mode)
     if partition_by:
@@ -58,8 +76,10 @@ def write_table(df: DataFrame, location: str, table: str,
 
 
 def read_table(spark: SparkSession, location: str, table: str) -> DataFrame:
-    cat = iceberg_catalog(spark)
-    if cat and not _is_fs_path(location):
-        ident = f"{cat}.{location}.{table}" if location else f"{cat}.{table}"
+    if not _is_fs_path(location):
+        cat = iceberg_catalog(spark)
+        ident = (f"{cat}.{location}.{table}" if cat else
+                 f"{location}.{table}") if location else \
+            (f"{cat}.{table}" if cat else table)
         return spark.read.table(ident)
     return spark.read.parquet(f"{location}/{table}")

@@ -38,6 +38,11 @@ def get_spark(app_name: str = "lacspark", cores: int | None = None,
         # bucket replay overwrites only the partitions it touches —
         # makes pipeline re-runs idempotent after a mid-write crash
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # session-catalog managed tables (catalog.py tier 2) live
+        # outside the repo working tree
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("LACSPARK_WAREHOUSE",
+                               "/tmp/lacspark-warehouse"))
         # single math thread per python worker: Spark already
         # parallelizes by partition (≙ SetCpuMathLibraryNumThreads(1),
         # c++/src/lac.cpp:46)

@@ -36,6 +36,17 @@ def test_sha_invariant_and_alignment(texts, mode):
             assert all(0 <= r <= 3 for r in res.ranks)
 
 
+@settings(max_examples=120, deadline=None)
+@given(st.text(max_size=120), st.sampled_from(["seg", "lac", "rank"]))
+def test_invariant_full_unicode(text, mode):
+    """The join invariant must survive ARBITRARY unicode — control
+    chars, combining marks, astral-plane codepoints — not just the
+    curated alphabet above."""
+    res = engine().run_batch([text], mode)[0]
+    assert "".join(res.words) == text
+    assert len(res.words) == len(res.tags)
+
+
 def test_empty_rows_kept_in_place():
     texts = ["", "spark data", "", "百度", ""]
     out = engine().run_batch(texts, "rank")

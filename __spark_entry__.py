@@ -2,8 +2,10 @@
 
 ``entry(spark)`` runs the flagship KG query; ``queries()`` exposes one
 callable per implemented operator (SURVEY.md §2); ``oracle_sql()``
-gives the DuckDB-equivalent ANSI SQL for every SQL-expressible entry
-(UDF-backed tagger/KG ops are rows-only by nature).
+covers EVERY entry: DuckDB-equivalent ANSI SQL for the
+SQL-expressible ones, ``SELECT * FROM read_parquet(<golden>)`` for
+the UDF-backed tagger/KG/multimodal ones (goldens are the pure-python
+oracle engine's output, materialized per SF by lacspark.gen_golden).
 """
 
 from __future__ import annotations

@@ -440,8 +440,10 @@ def cooccurrence_pairs(spark, sf_dir):
         "                     y -> length(y) >= 4 and x < y), "
         "              y -> struct(x as t1, y as t2)) "
         "  else array() end))")
-    return (d.select(toks.alias("__toks"))
-            .select(F.explode(pairs).alias("p"))
+    from .spark.dedup import explode_once
+    return (explode_once(d.select(toks.alias("__toks"))
+                         .select(pairs.alias("__pairs")),
+                         [], "__pairs", "p")
             .groupBy(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
             .agg(F.count(F.lit(1)).alias("n_cooccur")))
 
@@ -826,13 +828,20 @@ def contamination_check(spark, sf_dir):
     hash); at corpus scale the join keys are md5 ints, the eval side
     is small → broadcast."""
     from .spark.dedup import shingle_sets
+
+    from .spark.dedup import explode_once
+
+    def grams(df, out_id):
+        # filter BEFORE shingling (the eval side builds 8-grams for
+        # 5% of the corpus); explode_once builds each doc's shingle
+        # array once instead of once per emitted gram
+        return explode_once(shingle_sets(df, "doc_id", "text", n=8),
+                            ["doc_id"], "shset", "g") \
+            .select(F.col("doc_id").alias(out_id), "g")
+
     d = load(spark, sf_dir, "documents")
-    grams = (shingle_sets(d, "doc_id", "text", n=8)
-             .select("doc_id", F.explode("shset").alias("g")))
-    ev = grams.filter(F.col("doc_id") % 20 == 0) \
-        .select(F.col("doc_id").alias("eval_doc_id"), "g")
-    tr = grams.filter(F.col("doc_id") % 20 != 0) \
-        .select(F.col("doc_id").alias("train_doc_id"), "g")
+    ev = grams(d.filter(F.col("doc_id") % 20 == 0), "eval_doc_id")
+    tr = grams(d.filter(F.col("doc_id") % 20 != 0), "train_doc_id")
     return (tr.join(F.broadcast(ev), "g")
             .groupBy("train_doc_id", "eval_doc_id")
             .agg(F.count(F.lit(1)).alias("n_shared_grams")))
@@ -1138,11 +1147,12 @@ def token_minhash_canonical(spark, sf_dir):
     toks = (_tokens(load(spark, sf_dir, "documents"))
             .select("token").distinct()
             .filter(F.length("token") >= 3))
-    grams = toks.select(
+    from .spark.dedup import explode_once
+    grams = explode_once(toks.select(
         "token",
-        F.explode(F.expr(
-            "transform(sequence(1, length(token) - 2), "
-            "i -> substring(token, i, 3))")).alias("gram"))
+        F.expr("transform(sequence(1, length(token) - 2), "
+               "i -> substring(token, i, 3))").alias("__g")),
+        ["token"], "__g", "gram")
     sigs = grams.groupBy("token").agg(*[
         F.min(F.expr(_MD5INT_SPARK.format(x=f"concat('g{i}:', gram)")))
         .alias(f"mh{i}") for i in range(4)])

@@ -58,8 +58,14 @@ def minhash_bands(forms: DataFrame, num_hashes: int = 8,
             *[F.col("sig")[b * band_size + j].cast("string")
               for j in range(band_size)]))
         for b in range(n_bands)])
-    return (banded.withColumn("band", F.explode(bands))
-            .select("band", "form", "grams"))
+    from .dedup import explode_once
+
+    # explode_once: a direct explode(bands) would inline the minhash
+    # sig into the Generate and re-run it once per band
+    return explode_once(
+        banded.select("form", "grams", bands.alias("__bands")),
+        ["form", "grams"], "__bands", "band").select("band", "form",
+                                                     "grams")
 
 
 def candidate_pairs(banded: DataFrame, jaccard_threshold: float = 0.5,

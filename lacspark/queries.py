@@ -847,6 +847,45 @@ def contamination_check(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_shared_grams")))
 
 
+@register("quality_features_label", """
+    with f as (
+        select doc_id,
+               length(text)::DOUBLE as n_chars,
+               greatest(length(text), 1)::DOUBLE as sn,
+               length(list_filter(string_split(text, ' '),
+                                  x -> length(x) > 0))::DOUBLE as n_tokens,
+               length(regexp_replace(text, '[A-Za-z]', '', 'g'))::DOUBLE
+                   as rem_alpha,
+               length(regexp_replace(text, '[0-9]', '', 'g'))::DOUBLE
+                   as rem_digit
+        from documents)
+    select doc_id, n_chars, n_tokens,
+           cast(round(1 - rem_alpha / sn, 6) as double) as alpha_ratio,
+           cast(round(1 - rem_digit / sn, 6) as double) as digit_ratio,
+           cast(case when n_chars >= 50 and (1 - rem_alpha / sn) >= 0.5
+                          and (1 - rem_digit / sn) <= 0.3
+                then 1.0 else 0.0 end as double) as label,
+           case when (%s) %% 100 < 10 then 1 else 0 end as is_test
+    from f
+""" % _MD5INT_DUCK.format(x="'split:' || doc_id::VARCHAR"))
+def quality_features_label(spark, sf_dir):
+    """Feature/label/split plumbing of the quality-classifier
+    trainer (spark/quality.py): JVM-projection features, heuristic
+    labels, md5-deterministic train/test split — the oracle-gated
+    part; the LR fit itself is MLlib (pytest-gated)."""
+    from .spark.quality import hash_split, heuristic_label, text_features
+    d = load(spark, sf_dir, "documents")
+    f = heuristic_label(text_features(d))
+    train, test = hash_split(f)
+    both = (train.withColumn("is_test", F.lit(0))
+            .unionByName(test.withColumn("is_test", F.lit(1))))
+    return both.select(
+        "doc_id", "n_chars", "n_tokens",
+        F.round("alpha_ratio", 6).cast("double").alias("alpha_ratio"),
+        F.round("digit_ratio", 6).cast("double").alias("digit_ratio"),
+        "label", "is_test")
+
+
 @register("doc_fingerprint", """
     select doc_id,
            md5(lower(regexp_replace(text, ' +', ' ', 'g'))) as fingerprint,

@@ -240,6 +240,89 @@ def nll_and_grads(params: dict[str, np.ndarray],
 
 
 # ---------------------------------------------------------------------------
+# Rank head: softmax cross-entropy through the tag-conditioned Bi-GRU
+# (the reference's second predictor, models.py:305-345; trained the
+# same way as the lac net per nets.py's shared train loop)
+# ---------------------------------------------------------------------------
+
+RANK_PREFIXES = ("emb", "tag_emb", "r0_", "rank_fc")
+
+
+def rank_params(weights: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """float64 copies of the rank-head tensors (char emb is shared
+    with the lac net, tag_emb/r0/rank_fc are rank-only)."""
+    return {k: np.asarray(v, dtype=np.float64).copy()
+            for k, v in weights.items() if k.startswith(RANK_PREFIXES)}
+
+
+def rank_nll_and_grads(params: dict[str, np.ndarray],
+                       id_seqs: list[np.ndarray],
+                       tag_seqs: list[np.ndarray],
+                       rank_seqs: list[np.ndarray]
+                       ) -> tuple[float, dict[str, np.ndarray]]:
+    """Summed masked softmax cross-entropy of per-token importance
+    (0-3) and its exact gradient w.r.t. every rank tensor.  Forward
+    matches BiGruCrf.rank: x = [emb[ids]; tag_emb[tags]] → r0 Bi-GRU
+    → rank_fc logits."""
+    ids, lens = _pad_batch(id_seqs, rank_seqs)
+    tags, _ = _pad_batch(tag_seqs, rank_seqs)
+    bsz, t = ids.shape
+    m = (np.arange(t)[None, :] < lens[:, None]).astype(np.float64)[:, :, None]
+
+    x = np.concatenate([params["emb"][ids], params["tag_emb"][tags]],
+                       axis=-1)
+    h, cache = _bigru_forward(x, m, params, "r0")
+    logits = h @ params["rank_fc_w"] + params["rank_fc_b"]   # [B,T,4]
+    mx = logits.max(axis=-1, keepdims=True)
+    ex = np.exp(logits - mx)
+    probs = ex / ex.sum(axis=-1, keepdims=True)
+
+    grads = {k: np.zeros_like(v) for k, v in params.items()}
+    d_logits = np.zeros_like(logits)
+    total_nll = 0.0
+    for bi, ranks in enumerate(rank_seqs):
+        ranks = np.asarray(ranks, dtype=np.int64)
+        tl = int(lens[bi])
+        p = probs[bi, :tl]
+        total_nll += float(-np.log(
+            p[np.arange(tl), ranks[:tl]] + 1e-300).sum())
+        dl = p.copy()
+        dl[np.arange(tl), ranks[:tl]] -= 1.0
+        d_logits[bi, :tl] = dl
+
+    grads["rank_fc_w"] += h.reshape(-1, h.shape[-1]).T \
+        @ d_logits.reshape(-1, d_logits.shape[-1])
+    grads["rank_fc_b"] += d_logits.sum(axis=(0, 1))
+    dh = d_logits @ params["rank_fc_w"].T
+    dx = _bigru_backward(params, "r0", cache, dh, grads)
+    e_dim = params["emb"].shape[1]
+    np.add.at(grads["emb"], ids.reshape(-1),
+              dx[:, :, :e_dim].reshape(-1, e_dim))
+    np.add.at(grads["tag_emb"], tags.reshape(-1),
+              dx[:, :, e_dim:].reshape(-1, dx.shape[-1] - e_dim))
+    return total_nll, grads
+
+
+def fit_rank_local(net, id_seqs, tag_seqs, rank_seqs, lr: float = 1e-2,
+                   epochs: int = 5) -> list[float]:
+    """Single-process Adam on the rank head; hot-reloads into the
+    inference net.  Returns per-epoch mean NLL."""
+    params = rank_params(net.w)
+    opt = Adam(lr)
+    trace = []
+    n = max(len(id_seqs), 1)
+    for _ in range(epochs):
+        nll, grads = rank_nll_and_grads(params, id_seqs, tag_seqs,
+                                        rank_seqs)
+        theta = opt.step(flatten_params(params),
+                         flatten_params(grads) / n)
+        params = unflatten_like(theta, params)
+        trace.append(nll / n)
+    write_back(net, params)
+    return trace
+
+
+# ---------------------------------------------------------------------------
 # Flatten / unflatten (deterministic key order) and Adam
 # ---------------------------------------------------------------------------
 

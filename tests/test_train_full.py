@@ -140,3 +140,53 @@ def test_fit_full_spark_matches_local_trace(spark):
     after_l = net_l.decode(ids)
     after_s = net_s.decode(ids)
     assert all((a == b).all() for a, b in zip(after_l, after_s))
+
+
+def test_rank_gradients_match_finite_differences():
+    from lacspark.train_full import rank_nll_and_grads
+    rng = np.random.default_rng(9)
+    v, e, et, h, L = 11, 4, 3, 3, 5
+    p = {"emb": rng.normal(size=(v, e)) * 0.5,
+         "tag_emb": rng.normal(size=(L, et)) * 0.5,
+         "r0_fw_wx": rng.normal(size=(e + et, 3 * h)) * 0.4,
+         "r0_fw_wh": rng.normal(size=(h, 3 * h)) * 0.4,
+         "r0_fw_b": rng.normal(size=3 * h) * 0.1,
+         "r0_bw_wx": rng.normal(size=(e + et, 3 * h)) * 0.4,
+         "r0_bw_wh": rng.normal(size=(h, 3 * h)) * 0.4,
+         "r0_bw_b": rng.normal(size=3 * h) * 0.1,
+         "rank_fc_w": rng.normal(size=(2 * h, 4)) * 0.5,
+         "rank_fc_b": rng.normal(size=4) * 0.1}
+    ids = [rng.integers(0, v, size=n) for n in (2, 5)]
+    tags = [rng.integers(0, L, size=len(s)) for s in ids]
+    ranks = [rng.integers(0, 4, size=len(s)) for s in ids]
+    nll, grads = rank_nll_and_grads(p, ids, tags, ranks)
+    theta = flatten_params(p)
+    g = flatten_params(grads)
+    eps = 1e-6
+    idx = np.linspace(0, theta.size - 1, 40).astype(int)
+    for i in idx:
+        tp, tm = theta.copy(), theta.copy()
+        tp[i] += eps
+        tm[i] -= eps
+        np_, _ = rank_nll_and_grads(unflatten_like(tp, p), ids, tags, ranks)
+        nm_, _ = rank_nll_and_grads(unflatten_like(tm, p), ids, tags, ranks)
+        fd = (np_ - nm_) / (2 * eps)
+        assert abs(fd - g[i]) < 1e-4 * max(1.0, abs(fd)), \
+            f"coord {i}: analytic {g[i]} vs fd {fd}"
+
+
+def test_fit_rank_adapts_decoder():
+    from lacspark.train_full import fit_rank_local
+    npz = np.load(str(resource_dir() / "lac_weights.npz"))
+    from lacspark.tagscheme import LAC_LABELS
+    net = BiGruCrf({k: npz[k] for k in npz.files},
+                   transition_mask(LAC_LABELS), start_mask(LAC_LABELS))
+    rng = np.random.default_rng(5)
+    ids = [rng.integers(0, net.w["emb"].shape[0], size=n)
+           for n in (4, 6, 3)]
+    tags = [rng.integers(0, net.n_labels, size=len(s)) for s in ids]
+    want = [np.full(len(s), 2, dtype=np.int64) for s in ids]  # teach "2"
+    trace = fit_rank_local(net, ids, tags, want, lr=5e-2, epochs=40)
+    assert trace[-1] < trace[0] * 0.5, trace
+    out = net.rank(ids, tags)
+    assert all((o == w).all() for o, w in zip(out, want)), out

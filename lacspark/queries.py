@@ -1105,7 +1105,8 @@ def ann_ivf_lists(spark, sf_dir):
     choosing nprobe at scale."""
     from .spark.similarity import ivf_list_sizes
     e = load(spark, sf_dir, "embeddings")
-    return ivf_list_sizes(e, "vec_id", "embedding", "label", _IVF_DIM)
+    return ivf_list_sizes(e, "vec_id", "embedding", "label", _IVF_DIM,
+                          memo_key=sf_dir)
 
 
 @register("ann_ivf_topk", _ivf_oracle_ctes() + """
@@ -1131,7 +1132,7 @@ def ann_ivf_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     return ivf_topk(e.filter(F.col("vec_id") < 50), e,
                     "vec_id", "embedding", "label", _IVF_DIM,
-                    k=5, nprobe=3) \
+                    k=5, nprobe=3, memo_key=sf_dir) \
         .select("query_id", "neighbor_id", "rnk")
 
 

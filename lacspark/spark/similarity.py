@@ -88,15 +88,25 @@ def label_centroids(corpus: DataFrame, vec_col: str, label_col: str,
                     .alias("centroid")))
 
 
+_CODEBOOK_MEMO: dict = {}
+
+
 def collect_codebook(corpus: DataFrame, vec_col: str, label_col: str,
-                     dim: int) -> tuple[list[int], list[list[float]]]:
+                     dim: int, memo_key=None
+                     ) -> tuple[list[int], list[list[float]]]:
     """Materialize the (tiny) centroid codebook on the driver —
     (list_ids sorted ascending, norm-scaled centroid vectors).
     Scaling each centroid by 1/‖c‖ makes cosine ranking equal plain
     dot-product ranking, so the assignment needs neither norm at
-    evaluation time."""
+    evaluation time.  Pass ``memo_key`` (e.g. the source path) to
+    reuse the codebook across calls — it is a deterministic derived
+    artifact of the corpus, so caching cannot change results."""
     import math
 
+    if memo_key is not None:
+        k = (memo_key, vec_col, label_col, dim)
+        if k in _CODEBOOK_MEMO:
+            return _CODEBOOK_MEMO[k]
     rows = label_centroids(corpus, vec_col, label_col, dim).collect()
     rows.sort(key=lambda r: r.list_id)
     ids, cents = [], []
@@ -104,6 +114,8 @@ def collect_codebook(corpus: DataFrame, vec_col: str, label_col: str,
         nrm = math.sqrt(sum(v * v for v in r.centroid)) or 1.0
         ids.append(int(r.list_id))
         cents.append([float(v) / nrm for v in r.centroid])
+    if memo_key is not None:
+        _CODEBOOK_MEMO[(memo_key, vec_col, label_col, dim)] = (ids, cents)
     return ids, cents
 
 
@@ -152,7 +164,7 @@ def _nearest_lists(df: DataFrame, codebook, out_id: str,
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
              vec_col: str, label_col: str, dim: int, k: int = 5,
-             nprobe: int = 3) -> DataFrame:
+             nprobe: int = 3, memo_key=None) -> DataFrame:
     """IVF (inverted-file) ANN: assign every corpus vector to its
     nearest coarse centroid (its *list*), probe each query against the
     ``nprobe`` nearest lists only, exact cosine re-rank inside them.
@@ -164,7 +176,8 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
     ~nprobe/n_lists of the corpus.  Complements sign-LSH
     (`lsh_bucketed_topk`): IVF adapts to the data distribution, LSH
     is data-independent."""
-    cb = collect_codebook(corpus, vec_col, label_col, dim)
+    cb = collect_codebook(corpus, vec_col, label_col, dim,
+                          memo_key=memo_key)
     n = _nearest_lists(_with_norm(corpus, id_col, vec_col, "neighbor_id"),
                        cb, "neighbor_id", nprobe=1)
     q = _nearest_lists(_with_norm(queries, id_col, vec_col, "query_id"),
@@ -185,10 +198,11 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
 
 
 def ivf_list_sizes(corpus: DataFrame, id_col: str, vec_col: str,
-                   label_col: str, dim: int) -> DataFrame:
+                   label_col: str, dim: int, memo_key=None) -> DataFrame:
     """(list_id, n_vectors): the IVF partition histogram — the skew
     diagnostic you'd watch before trusting nprobe at scale."""
-    cb = collect_codebook(corpus, vec_col, label_col, dim)
+    cb = collect_codebook(corpus, vec_col, label_col, dim,
+                          memo_key=memo_key)
     n = _nearest_lists(_with_norm(corpus, id_col, vec_col, "neighbor_id"),
                        cb, "neighbor_id", nprobe=1)
     return (n.groupBy("list_id")

@@ -64,10 +64,14 @@ def write_table(df: DataFrame, location: str, table: str,
         if location:
             spark.sql(f"create database if not exists {location}")
         ident = f"{location}.{table}" if location else table
+        orphan = _orphaned_location(spark, location, table)
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.saveAsTable(ident)
+        if orphan:
+            w.parquet(orphan)   # keep reading/writing the same files
+        else:
+            w.saveAsTable(ident)
         return
     w = df.write.mode(mode)
     if partition_by:
@@ -75,9 +79,37 @@ def write_table(df: DataFrame, location: str, table: str,
     w.parquet(f"{location}/{table}")
 
 
+def _orphaned_location(spark: SparkSession, location: str,
+                       table: str) -> str | None:
+    """Session-catalog tier only: the in-memory catalog forgets table
+    METADATA across processes while the warehouse LOCATION survives,
+    so a naive rerun would hit LOCATION_ALREADY_EXISTS (a persistent
+    metastore — Hive/Iceberg in production — never orphans).  When
+    the table is unknown but its warehouse directory exists, return
+    that directory: callers transparently fall back to parquet path
+    IO against it (partition discovery included), so jobs rerun and
+    resume across sessions with the same data files."""
+    import os
+
+    ident = f"{location}.{table}" if location else table
+    try:
+        if spark.catalog.tableExists(ident):
+            return None
+    except Exception:
+        return None
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    wh = wh[len("file:"):] if wh.startswith("file:") else wh
+    loc = os.path.join(wh, f"{location}.db" if location else "", table)
+    return loc if os.path.exists(loc) else None
+
+
 def read_table(spark: SparkSession, location: str, table: str) -> DataFrame:
     if not _is_fs_path(location):
         cat = iceberg_catalog(spark)
+        if not cat:
+            orphan = _orphaned_location(spark, location, table)
+            if orphan:
+                return spark.read.parquet(orphan)
         ident = (f"{cat}.{location}.{table}" if cat else
                  f"{location}.{table}") if location else \
             (f"{cat}.{table}" if cat else table)

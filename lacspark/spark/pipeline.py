@@ -42,14 +42,14 @@ def with_bucket(files: DataFrame, n_buckets: int) -> DataFrame:
         .cast("int"))
 
 
-def _lineage_path(out_dir: str) -> str:
-    return os.path.join(out_dir, "lineage")
-
-
 def load_lineage(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    path = _lineage_path(out_dir)
+    """Lineage goes through the SAME table shim as the data tables —
+    a namespace out_dir must not leak a literal './<ns>/lineage'
+    directory into the driver cwd while files/mentions/triples land
+    in the catalog (writer and resume-reader must agree)."""
+    from .catalog import read_table
     try:
-        return spark.read.parquet(path)
+        return read_table(spark, out_dir, "lineage")
     except Exception:
         return None
 
@@ -113,8 +113,8 @@ def run_pipeline(spark: SparkSession, files: DataFrame, out_dir: str,
     # re-evaluating stats after the append would see its own output
     stat_rows = stats.collect()
     if stat_rows:
-        spark.createDataFrame(stat_rows, stats.schema) \
-            .write.mode("append").parquet(_lineage_path(out_dir))
+        write_table(spark.createDataFrame(stat_rows, stats.schema),
+                    out_dir, "lineage", "append")
 
     metrics = {r[BUCKET_COL]: r.asDict() for r in stat_rows}
     n_files = sum(m["n_files"] for m in metrics.values())

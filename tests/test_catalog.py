@@ -65,3 +65,29 @@ def test_pipeline_runs_against_session_catalog(spark, clean_ns):
     agg = back.groupBy("word").count().collect()
     assert sum(r["count"] for r in agg) == 20
     spark.sql("drop table lac_test_ns.mentions")
+
+
+def test_orphaned_location_survives_catalog_loss(spark, clean_ns):
+    """The in-memory session catalog loses table metadata across
+    processes while the warehouse directory survives.  The shim must
+    keep reading AND writing such orphaned locations (this is what
+    lets a namespace-output KG job rerun + lineage-resume across
+    sessions; a persistent metastore never orphans)."""
+    import os
+
+    # simulate a prior process's managed table whose metadata died
+    # with the in-memory catalog: the warehouse files exist, the
+    # catalog has never heard of the table
+    df = spark.range(6).withColumn("bucket", F.col("id") % 2)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    df.write.mode("overwrite").partitionBy("bucket") \
+        .parquet(f"{wh}/lac_test_ns.db/t2")
+    assert not spark.catalog.tableExists("lac_test_ns.t2")
+    assert os.path.exists(f"{wh}/lac_test_ns.db/t2")
+    back = read_table(spark, "lac_test_ns", "t2")
+    assert back.count() == 6
+    assert "bucket" in back.columns        # partition discovery works
+    write_table(spark.range(2).withColumn("bucket", F.lit(1)),
+                "lac_test_ns", "t2", mode="append",
+                partition_by=["bucket"])
+    assert read_table(spark, "lac_test_ns", "t2").count() == 8

@@ -91,3 +91,41 @@ def test_orphaned_location_survives_catalog_loss(spark, clean_ns):
                 "lac_test_ns", "t2", mode="append",
                 partition_by=["bucket"])
     assert read_table(spark, "lac_test_ns", "t2").count() == 8
+
+
+def test_bucketed_tables_join_without_exchange(spark, clean_ns):
+    """bucketBy co-location: two tables bucketed+sorted on the join
+    key must sort-merge-join with NO Exchange in the plan — the
+    pre-shuffle that turns every future doc_id join into a local
+    merge at corpus scale."""
+    spark.sql("create database if not exists lac_test_ns")
+    for t in ("bk_a", "bk_b"):
+        spark.sql(f"drop table if exists lac_test_ns.{t}")
+    spark.range(0, 1000).withColumn("v", F.col("id") * 2) \
+        .write.mode("overwrite").bucketBy(8, "id").sortBy("id") \
+        .saveAsTable("lac_test_ns.bk_a")
+    spark.range(0, 1000).withColumn("w", F.col("id") + 1) \
+        .write.mode("overwrite").bucketBy(8, "id").sortBy("id") \
+        .saveAsTable("lac_test_ns.bk_b")
+    # the point is the shuffle-free SMJ path, so stop the tiny test
+    # tables from taking the broadcast shortcut
+    confs = {"spark.sql.autoBroadcastJoinThreshold": "-1",
+             "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1"}
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = spark.table("lac_test_ns.bk_a").join(
+            spark.table("lac_test_ns.bk_b"), "id")
+        assert j.count() == 1000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    for t in ("bk_a", "bk_b"):
+        spark.sql(f"drop table lac_test_ns.{t}")

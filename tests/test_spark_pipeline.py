@@ -151,3 +151,21 @@ def test_salience_topk(spark, docs):
     top = mention_salience_topk(mentions, ["doc_id"], k=3)
     per_doc = top.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
     assert per_doc <= 3
+
+
+def test_very_long_document_through_spark_tagger(spark):
+    """A 100k-char outlier document must flow through the Arrow batch
+    + length-bucketed chunking intact (the join invariant holds and
+    no row is truncated) alongside normal-size rows."""
+    from lacspark.spark.tagger import tag_and_extract
+
+    long_text = ("spark shuffles data across the cluster " * 2500).strip()
+    assert len(long_text) > 90_000
+    rows = [(1, long_text), (2, "short row"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           tag_and_extract(df, "text", mode="rank").collect()}
+    assert "".join(out[1].words) == long_text
+    assert "".join(out[2].words) == "short row"
+    assert out[3].words == []
+    assert len(out[1].ranks) == len(out[1].words)

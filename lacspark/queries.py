@@ -775,26 +775,49 @@ def token_class_counts(spark, sf_dir):
     window w as (partition by lang order by doc_id
                  rows between unbounded preceding and current row)
 """)
-def pack_sequences(spark, sf_dir):
+def pack_sequences(spark, sf_dir, shard_docs: int = 200):
     """Greedy sequence packing for pretraining: documents are laid
     head-to-tail per language stream and cut into 512-token packs
-    (pack_id = floor(stream_offset / 512)).  One running-sum window
-    per lang partition — at corpus scale the stream key is
-    (lang, shard) so no partition exceeds executor memory, and pack
-    ids are offset by per-shard totals computed in a second tiny agg
-    (hierarchical packing); the per-stream plan here is that inner
-    step."""
+    (pack_id = floor(stream_offset / 512)).
+
+    Implemented as a HIERARCHICAL prefix sum — bit-identical to one
+    global running-sum window per lang, but no partition ever holds a
+    whole language:
+      1. shard = floor(doc_id / shard_docs) is order-consistent with
+         the stream order, so within-(lang, shard) running sums are
+         exact local prefixes;
+      2. per-shard token totals (a tiny aggregate, shard_docs× smaller
+         than the data) get an EXCLUSIVE running sum per lang — the
+         shard base offsets;
+      3. offset = shard base + within-shard prefix, one equi-join
+         (AQE broadcasts the shard table while it fits; raise
+         shard_docs to shrink it).  Each extra level divides the
+         widest window by another shard_docs — two levels cover
+         10^12 docs."""
     d = load(spark, sf_dir, "documents")
     toks = F.size(F.filter(F.split("text", " "),
                            lambda x: F.length(x) > 0))
-    w = (Window.partitionBy("lang").orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    return (d.select("doc_id", "lang", toks.alias("n_tokens"))
+    t = d.select("doc_id", "lang", toks.alias("n_tokens"),
+                 (F.col("doc_id") / shard_docs).cast("bigint")
+                 .alias("__shard"))
+    w_in = (Window.partitionBy("lang", "__shard").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    within = t.withColumn(
+        "__local", F.sum("n_tokens").over(w_in) - F.col("n_tokens"))
+    totals = t.groupBy("lang", "__shard").agg(
+        F.sum("n_tokens").alias("__tot"))
+    w_sh = (Window.partitionBy("lang").orderBy("__shard")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    bases = totals.withColumn(
+        "__base", F.coalesce(F.sum("__tot").over(w_sh), F.lit(0)))
+    return (within.join(bases.select("lang", "__shard", "__base"),
+                        ["lang", "__shard"])
             .withColumn("stream_offset",
-                        F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                        F.col("__base") + F.col("__local"))
             .withColumn("pack_id",
-                        (F.col("stream_offset") / 512)
-                        .cast("bigint")))
+                        (F.col("stream_offset") / 512).cast("bigint"))
+            .select("doc_id", "lang", "n_tokens", "stream_offset",
+                    "pack_id"))
 
 
 def _contamination_duck(n: int = 8) -> str:

@@ -80,7 +80,8 @@ def main() -> None:
 
     bench_queries = [
         "tpch_q1_pricing", "orders_by_nation", "top_orders_per_customer",
-        "events_tumbling_minute", "term_frequency_topk",
+        "events_tumbling_minute", "streaming_tumbling_minute",
+        "term_frequency_topk",
         "word_boundary_merge", "cooccurrence_pairs",
         "dedup_exact_stats", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_jaccard_adjacent", "quality_score", "token_class_counts",

@@ -162,6 +162,48 @@ def events_tumbling_minute(spark, sf_dir):
              F.round(F.sum("value"), 4).cast("double").alias("sum_value")))
 
 
+@register("streaming_tumbling_minute", """
+    select epoch(date_trunc('minute', ts))::BIGINT as window_start,
+           event_type,
+           count(*) as n_events
+    from events
+    group by 1, 2
+""")
+def streaming_tumbling_minute(spark, sf_dir):
+    """A REAL Structured Streaming job under the correctness gate:
+    readStream over the events parquet (availableNow trigger replays
+    it as micro-batches), watermarked tumbling-minute aggregation,
+    memory sink; on a finite replay the result must equal the batch
+    SQL exactly (complete output mode — append would withhold windows
+    newer than the final watermark).  This is the streaming stateful
+    aggregate the engine runs continuously in production, proven
+    equivalent to its batch twin."""
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source wants a directory — glob the events file out of
+    # the sf dir
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    # watermarks need TIMESTAMP (the parquet column is NTZ; the
+    # session tz is pinned UTC so the cast preserves wall time)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (stream.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 minute").alias("win"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    sink = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.trigger(availableNow=True)
+         .format("memory").queryName(sink)
+         .outputMode("complete").start())
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.unix_timestamp(F.col("win.start")).cast("bigint")
+        .alias("window_start"),
+        "event_type", "n_events")
+
+
 @register("lineitem_part_supplier", """
     select p.p_brand as brand, s.s_nationkey as nationkey,
            count(*) as n_items,

@@ -1065,6 +1065,41 @@ def dedup_exact_groups_q(spark, sf_dir):
                                   "doc_id", "text")
 
 
+@register("dedup_embedding_keep_best", """
+    with v as (select vec_id, embedding::DOUBLE[] e,
+                      (%s)::BIGINT as bucket
+               from embeddings),
+    pairs as (
+        select a.vec_id as d1, b.vec_id as d2
+        from v a join v b on a.bucket = b.bucket and a.vec_id < b.vec_id
+        where list_dot_product(a.e, b.e) /
+              (sqrt(list_dot_product(a.e, a.e))
+               * sqrt(list_dot_product(b.e, b.e))) >= 0.30),
+    sym as (select d1 as a, d2 as b from pairs
+            union all select d2, d1 from pairs)
+    select a as dropped_id, min(b) as kept_id
+    from sym group by a having min(b) < a
+""" % " + ".join(f"(case when embedding[{j + 1}] > 0 then {1 << j} else 0 end)"
+                 for j in range(8)))
+def dedup_embedding_keep_best(spark, sf_dir):
+    """SemDeDup-style resolution over embedding near-dup pairs: a
+    vector is DROPPED when any cosine-similar neighbor has a smaller
+    id; its keeper is the smallest such neighbor.  One aggregate over
+    the symmetrized pair list (the pair DAG executes once — explode
+    symmetrization, not union)."""
+    from .spark.dedup import embedding_near_duplicates
+    pairs = embedding_near_duplicates(load(spark, sf_dir, "embeddings"),
+                                      "vec_id", "embedding",
+                                      threshold=0.30, nbits=8)
+    sym = pairs.select(F.explode(F.array(
+        F.struct(F.col("d1").alias("a"), F.col("d2").alias("b")),
+        F.struct(F.col("d2").alias("a"), F.col("d1").alias("b"))))
+        .alias("p")).select("p.a", "p.b")
+    return (sym.groupBy(F.col("a").alias("dropped_id"))
+            .agg(F.min("b").alias("kept_id"))
+            .filter(F.col("kept_id") < F.col("dropped_id")))
+
+
 @register("dedup_embedding_cosine", """
     with v as (select vec_id, embedding::DOUBLE[] e,
                       (%s)::BIGINT as bucket

@@ -88,7 +88,8 @@ def main() -> None:
         "doc_fingerprint", "lang_id_heuristic",
         "ann_bruteforce_top5", "ann_lsh_topk", "ann_lsh_buckets",
         "ann_ivf_topk", "multimodal_decode_stats",
-        "dedup_near_keep_best", "sample_stratified",
+        "dedup_near_keep_best", "dedup_embedding_keep_best",
+        "sample_stratified",
         "pack_sequences", "contamination_check",
         "token_minhash_canonical",
     ]

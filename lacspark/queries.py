@@ -458,10 +458,16 @@ def chunk_eval_f1(spark, sf_dir):
 
 
 @register("cooccurrence_pairs", """
-    with toks as (select * from (%s) where length(token) >= 4)
+    with ctoks as (
+        select doc_id,
+               row_number() over (partition by doc_id order by pos) - 1
+                   as cpos,
+               token
+        from (%s)),
+    toks as (select * from ctoks where length(token) >= 4)
     select a.token as t1, b.token as t2, count(*) as n_cooccur
     from toks a join toks b
-      on a.doc_id = b.doc_id and b.pos > a.pos and b.pos <= a.pos + 3
+      on a.doc_id = b.doc_id and b.cpos > a.cpos and b.cpos <= a.cpos + 3
     where a.token < b.token
     group by 1, 2
 """ % _DUCK_TOKENS)
@@ -471,7 +477,12 @@ def cooccurrence_pairs(spark, sf_dir):
     Pairs are generated INSIDE the scan projection (indexed transform
     over the token array + slice of the next 3 positions) — the old
     positional self-join shuffled the token table twice; this plan's
-    only shuffle is the final (t1, t2) aggregate."""
+    only shuffle is the final (t1, t2) aggregate.
+
+    Adjacency is over COMPACTED positions (empty tokens removed
+    before windowing); the oracle renumbers with row_number over the
+    raw split order so both engines agree on texts with consecutive
+    spaces."""
     from .spark.tagger import ensure_parallelism
     d = ensure_parallelism(load(spark, sf_dir, "documents"))
     toks = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
@@ -509,19 +520,25 @@ def dedup_exact_stats(spark, sf_dir):
 
 
 @register("dedup_exact_pairs", """
-    select a.doc_id as d1, b.doc_id as d2
-    from (select doc_id, md5(text) h from documents) a
-    join (select doc_id, md5(text) h from documents) b
-      on a.h = b.h and a.doc_id < b.doc_id
+    select keeper as d1, doc_id as d2 from (
+        select doc_id,
+               min(doc_id) over (partition by md5(text)) as keeper
+        from documents)
+    where doc_id != keeper
 """)
 def dedup_exact_pairs(spark, sf_dir):
+    """Exact-dup resolution pairs in KEEPER form: one (keeper, member)
+    row per duplicate — k-1 rows for a k-way group, never the
+    all-pairs k(k-1)/2 fan-out (a boilerplate file duplicated 10^6
+    times emits 10^6-1 rows, not 5*10^11).  One window over the
+    content hash — a single shuffle, no self-join, no arrays."""
     d = load(spark, sf_dir, "documents") \
         .select("doc_id", F.md5("text").alias("h"))
-    a, b = d.alias("a"), d.alias("b")
-    return (a.join(b, (F.col("a.h") == F.col("b.h"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("d1"),
-                    F.col("b.doc_id").alias("d2")))
+    keeper = F.min("doc_id").over(Window.partitionBy("h"))
+    return (d.withColumn("keeper", keeper)
+            .filter(F.col("doc_id") != F.col("keeper"))
+            .select(F.col("keeper").alias("d1"),
+                    F.col("doc_id").alias("d2")))
 
 
 def _minhash_select_duck(n: int) -> str:
@@ -644,7 +661,7 @@ def dedup_near_keep_best(spark, sf_dir):
            count(*) as n_total,
            sum(case when ({_MD5INT_DUCK.format(
                x="'smp:' || doc_id::VARCHAR")}) % 100 < 10
-               then 1 else 0 end) as n_sampled
+               then 1 else 0 end)::BIGINT as n_sampled
     from documents group by lang
 """)
 def sample_stratified(spark, sf_dir):
@@ -811,7 +828,7 @@ def token_class_counts(spark, sf_dir):
                           as n_tokens
                from documents)
     select doc_id, lang, n_tokens,
-           ((sum(n_tokens) over w) - n_tokens) as stream_offset,
+           ((sum(n_tokens) over w) - n_tokens)::BIGINT as stream_offset,
            (((sum(n_tokens) over w) - n_tokens) // 512)::BIGINT as pack_id
     from t
     window w as (partition by lang order by doc_id

@@ -218,16 +218,38 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
 
 def simhash(df: DataFrame, id_col: str, text_col: str,
             nbits: int = 16) -> DataFrame:
-    """(id, simhash): sign-aggregated token-hash bits."""
-    t = tokens(df, id_col, text_col)
-    h = MD5INT.format(x="token")
-    bit_aggs = [
-        F.sum(F.expr(f"case when ((({h}) >> {j}) & 1) = 1 "
-                     f"then 1 else -1 end")).alias(f"b{j}")
-        for j in range(nbits)]
-    bits = t.groupBy(id_col).agg(*bit_aggs)
+    """(id, simhash): sign-aggregated token-hash bits.
+
+    PROJECTION-ONLY: per-doc token array → one md5 per token
+    (transform, computed exactly once) → a single fold that carries
+    all nbits counters as an array accumulator (zip_with against the
+    bit indices).  No token row ever leaves its document — the old
+    formulation shuffled one row per token into a 16-column groupBy;
+    this one shuffles nothing at all.  Docs with zero non-empty
+    tokens emit no row (matching the relational oracle's group-by
+    over exploded tokens)."""
+    from .tagger import ensure_parallelism
+
+    toks = F.filter(F.split(F.col(text_col), " "),
+                    lambda x: F.length(x) > 0)
+    h = MD5INT.format(x="t")
+    # single fold: acc[j] += sign of bit j of the token hash.  One
+    # aggregate referencing the hash array once keeps CollapseProject
+    # from inlining the md5 transform into multiple consumers.
+    fold = (f"aggregate(__hs, "
+            f"array_repeat(cast(0 as bigint), {nbits}), "
+            f"(acc, hv) -> zip_with(acc, sequence(0, {nbits - 1}), "
+            f"(a, j) -> a + (case when ((hv >> j) & 1) = 1 "
+            f"then 1 else -1 end)))")
     combined = " + ".join(
-        f"(case when b{j} > 0 then {1 << j} else 0 end)"
+        f"(case when element_at(__bits, {j + 1}) > 0 "
+        f"then {1 << j} else 0 end)"
         for j in range(nbits))
-    return bits.select(id_col,
-                       F.expr(f"cast({combined} as bigint)").alias("simhash"))
+    d = (ensure_parallelism(df)
+         .select(id_col, toks.alias("__toks"))
+         .filter(F.size("__toks") > 0)
+         .select(id_col,
+                 F.expr(f"transform(__toks, t -> {h})").alias("__hs"))
+         .select(id_col, F.expr(fold).alias("__bits")))
+    return d.select(id_col,
+                    F.expr(f"cast({combined} as bigint)").alias("simhash"))

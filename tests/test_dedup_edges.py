@@ -1,0 +1,116 @@
+"""Adversarial edge cases for the dedup family: oracle agreement on
+texts the synthetic corpora never contain (consecutive spaces), and
+scale-shape guarantees (keeper-form pair fan-out, bucket caps)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_docs(spark, tmp_path, rows):
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(rows, "doc_id bigint, lang string, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    return str(tmp_path)
+
+
+def _run_both(spark, sf_dir, name):
+    from lacspark.queries import ORACLE_SQL, SPARK_QUERIES
+
+    sdf = SPARK_QUERIES[name](spark, sf_dir)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    # Spark writes a directory; duckdb needs the part-file glob
+    con.execute(f"create view documents as select * from "
+                f"read_parquet('{sf_dir}/documents.parquet/*.parquet')")
+    cols = [c.lower() for c in sdf.columns]
+    d_cur = con.execute(ORACLE_SQL[name])
+    d_cols = [c[0].lower() for c in d_cur.description]
+    d = sorted(tuple(r) for r in d_cur.fetchall())
+    assert cols == d_cols or sorted(cols) == sorted(d_cols)
+    return s, d
+
+
+def test_cooccurrence_agrees_on_consecutive_spaces(spark, tmp_path):
+    """Empty tokens from double/leading/trailing spaces must not open
+    gaps in the co-occurrence window: both engines use COMPACTED
+    positions, so 'alpha  beta' and 'alpha beta' co-occur the same."""
+    rows = [
+        (1, "en", "alpha  bravo charlie"),          # double space
+        (2, "en", " alpha bravo  charlie delta "),  # lead/mid/trail
+        (3, "en", "echo   foxtrot golfx  hotel victor whiskey"),
+        (4, "en", "alpha bravo charlie"),            # no gaps control
+        (5, "en", "   "),                            # all-empty doc
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    s, d = _run_both(spark, sf, "cooccurrence_pairs")
+    assert s == d
+    # the double space must NOT break adjacency: alpha/bravo from
+    # doc 1 and doc 4 both count → n_cooccur = 2 somewhere
+    m = {(t1, t2): n for t1, t2, n in s}
+    assert m[("alpha", "bravo")] >= 2
+
+
+def test_exact_pairs_keeper_fanout_is_linear(spark, tmp_path):
+    """A k-way duplicate group emits exactly k-1 (keeper, member)
+    rows — never the k(k-1)/2 all-pairs explosion.  10k copies of one
+    text → 9,999 rows, keeper = min doc_id for every row."""
+    k = 10_000
+    docs = spark.range(k).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang"),
+        F.lit("the same boilerplate text").alias("text"))
+    uniq = spark.range(5).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("unique "), F.col("id").cast("string"))
+        .alias("text"))
+    path = str(tmp_path / "documents.parquet")
+    docs.unionAll(uniq).write.mode("overwrite").parquet(path)
+
+    from lacspark.queries import SPARK_QUERIES
+    out = SPARK_QUERIES["dedup_exact_pairs"](spark, str(tmp_path))
+    rows = out.collect()
+    assert len(rows) == k - 1
+    assert all(r.d1 == 0 for r in rows)
+    assert sorted(r.d2 for r in rows) == list(range(1, k))
+
+
+def test_exact_pairs_matches_oracle_on_multi_groups(spark, tmp_path):
+    rows = [(i, "en", f"group{i % 3}") for i in range(12)] \
+        + [(100, "en", "solo")]
+    sf = _write_docs(spark, tmp_path, rows)
+    s, d = _run_both(spark, sf, "dedup_exact_pairs")
+    assert s == d
+    assert len(s) == 9  # 3 groups x (4 members - 1 keeper)
+
+
+def test_simhash_projection_matches_oracle_with_empty_tokens(
+        spark, tmp_path):
+    rows = [
+        (1, "en", "token alpha  beta token"),
+        (2, "en", "gamma"),
+        (3, "en", "  "),     # no tokens → no row on either side
+        (4, "en", "token alpha beta token"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    s, d = _run_both(spark, sf, "dedup_simhash")
+    assert s == d
+    sh = {doc: h for doc, h in s}
+    assert 3 not in sh
+    assert sh[1] == sh[4]  # same multiset of tokens → same simhash
+
+
+def test_simhash_plan_has_no_keyed_shuffle(spark, tmp_path):
+    """The simhash fingerprint is a pure projection: no
+    hash-partitioned Exchange may appear in the physical plan (the
+    old form shuffled every token row into a 16-column groupBy).
+    The only allowed Exchange is ensure_parallelism's round-robin
+    widening of tiny inputs, which is a no-op at real scale."""
+    rows = [(i, "en", f"tok{i} shared words here") for i in range(8)]
+    sf = _write_docs(spark, tmp_path, rows)
+    from lacspark.queries import SPARK_QUERIES
+    plan = SPARK_QUERIES["dedup_simhash"](spark, sf) \
+        ._jdf.queryExecution().executedPlan().toString().lower()
+    assert "hashpartitioning" not in plan

@@ -1182,35 +1182,55 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 _IVF_DIM = 64
+_IVF_K = 16
+_IVF_ITERS = 2
 
 
 def _ivf_oracle_ctes() -> str:
-    """Shared DuckDB CTEs for the IVF family: per-label centroid
-    codebook (components rounded to 9 decimals, mirroring
-    lacspark.spark.similarity.label_centroids), nearest-list
-    assignment, and the nprobe=3 probe set for query ids < 50."""
-    cent = ", ".join(f"round(avg(embedding[{j + 1}]), 9)"
+    """Shared DuckDB CTEs replaying the label-free DETERMINISTIC
+    k-means of lacspark.spark.similarity.kmeans_codebook, unrolled to
+    the fixed iteration count: md5-stratified seed pick (the _IVF_K
+    vectors with the smallest (md5(id), id)), cosine argmax
+    assignment with ties to the lowest list_id, per-list component
+    means rounded to 6 decimals, then the final assignment and the
+    nprobe=3 probe set for query ids < 50.  Every nondeterminism
+    k-means normally has is pinned, so both engines compute the
+    identical codebook."""
+    cent = ", ".join(f"round(avg(e[{j + 1}]), 6)"
                      for j in range(_IVF_DIM))
     cos_c = ("list_dot_product(v.e, c.cv) / "
              "(sqrt(list_dot_product(v.e, v.e)) "
              "* sqrt(list_dot_product(c.cv, c.cv)))")
-    return f"""
-    with c as (select label as list_id, [{cent}]::DOUBLE[] as cv
-               from embeddings group by label),
-    v as (select vec_id, embedding::DOUBLE[] e from embeddings),
-    assign as (
+
+    def assign_cte(src: str, where: str = "", rn: int = 1) -> str:
+        return f"""(
         select vec_id, e, list_id from (
             select v.vec_id, v.e, c.list_id,
                    row_number() over (partition by v.vec_id
                        order by {cos_c} desc, c.list_id) as rn
-            from v cross join c) where rn = 1),
-    probes as (
-        select vec_id, e, list_id from (
-            select v.vec_id, v.e, c.list_id,
-                   row_number() over (partition by v.vec_id
-                       order by {cos_c} desc, c.list_id) as rn
-            from v cross join c where v.vec_id < 50) where rn <= 3)
+            from v cross join {src} c {where}) where rn <= {rn})"""
+
+    sql = f"""
+    with v as (select vec_id, embedding::DOUBLE[] e from embeddings),
+    c0 as (
+        select row_number() over (
+                   order by md5(vec_id::VARCHAR), vec_id) - 1
+                   as list_id,
+               e as cv
+        from (select vec_id, e from v
+              order by md5(vec_id::VARCHAR), vec_id limit {_IVF_K}))"""
+    prev = "c0"
+    for it in range(1, _IVF_ITERS + 1):
+        sql += f""",
+    a{it} as {assign_cte(prev)},
+    c{it} as (select list_id, [{cent}]::DOUBLE[] as cv
+              from a{it} group by list_id)"""
+        prev = f"c{it}"
+    sql += f""",
+    assign as {assign_cte(prev)},
+    probes as {assign_cte(prev, "where v.vec_id < 50", rn=3)}
 """
+    return sql
 
 
 @register("ann_ivf_lists", _ivf_oracle_ctes() + """
@@ -1219,10 +1239,12 @@ def _ivf_oracle_ctes() -> str:
 def ann_ivf_lists(spark, sf_dir):
     """IVF partition histogram: corpus vectors per inverted list
     after nearest-centroid assignment — the skew diagnostic for
-    choosing nprobe at scale."""
+    choosing nprobe at scale.  Codebook = label-free deterministic
+    k-means (no label column needed, as on a real corpus)."""
     from .spark.similarity import ivf_list_sizes
     e = load(spark, sf_dir, "embeddings")
-    return ivf_list_sizes(e, "vec_id", "embedding", "label", _IVF_DIM,
+    return ivf_list_sizes(e, "vec_id", "embedding", _IVF_DIM,
+                          n_lists=_IVF_K, iters=_IVF_ITERS,
                           memo_key=sf_dir)
 
 
@@ -1240,16 +1262,18 @@ def ann_ivf_lists(spark, sf_dir):
     where rnk <= 5
 """)
 def ann_ivf_topk(spark, sf_dir):
-    """IVF ANN scale path: per-label centroid codebook (broadcast),
-    nearest-list corpus assignment via partial-aggregating max_by,
-    nprobe=3 probe fan-out on the query side, equi-join on list_id,
-    exact cosine re-rank.  Data-adaptive complement to the
-    data-independent sign-LSH path (`ann_lsh_topk`)."""
+    """IVF ANN scale path: deterministic k-means codebook computed
+    from the vectors themselves (broadcast; no label crutch),
+    shuffle-free nearest-list corpus assignment, nprobe=3 probe
+    fan-out on the query side, equi-join on list_id, exact cosine
+    re-rank.  Data-adaptive complement to the data-independent
+    sign-LSH path (`ann_lsh_topk`)."""
     from .spark.similarity import ivf_topk
     e = load(spark, sf_dir, "embeddings")
     return ivf_topk(e.filter(F.col("vec_id") < 50), e,
-                    "vec_id", "embedding", "label", _IVF_DIM,
-                    k=5, nprobe=3, memo_key=sf_dir) \
+                    "vec_id", "embedding", _IVF_DIM,
+                    k=5, nprobe=3, n_lists=_IVF_K, iters=_IVF_ITERS,
+                    memo_key=sf_dir) \
         .select("query_id", "neighbor_id", "rnk")
 
 

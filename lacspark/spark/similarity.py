@@ -91,32 +91,117 @@ def label_centroids(corpus: DataFrame, vec_col: str, label_col: str,
 _CODEBOOK_MEMO: dict = {}
 
 
+def _memo_fingerprint(memo_key):
+    """Memo keys are only sound over immutable data.  When the key is
+    a filesystem path, fold in every file's (name, size, mtime_ns) so
+    a rewrite of the data at that path invalidates the memo instead
+    of silently serving a stale codebook."""
+    import os
+
+    if isinstance(memo_key, str) and os.path.exists(memo_key):
+        stats = []
+        if os.path.isdir(memo_key):
+            for root, _, names in os.walk(memo_key):
+                for nm in sorted(names):
+                    st = os.stat(os.path.join(root, nm))
+                    stats.append((nm, st.st_size, st.st_mtime_ns))
+        else:
+            st = os.stat(memo_key)
+            stats.append((os.path.basename(memo_key),
+                          st.st_size, st.st_mtime_ns))
+        return (memo_key, tuple(stats))
+    return memo_key
+
+
+def _scale_unit(cents: list[list[float]]) -> list[list[float]]:
+    """Scale each centroid by 1/‖c‖ so cosine ranking equals plain
+    dot-product ranking (the assignment then needs no norms)."""
+    import math
+
+    out = []
+    for c in cents:
+        nrm = math.sqrt(sum(v * v for v in c)) or 1.0
+        out.append([float(v) / nrm for v in c])
+    return out
+
+
 def collect_codebook(corpus: DataFrame, vec_col: str, label_col: str,
                      dim: int, memo_key=None
                      ) -> tuple[list[int], list[list[float]]]:
-    """Materialize the (tiny) centroid codebook on the driver —
-    (list_ids sorted ascending, norm-scaled centroid vectors).
-    Scaling each centroid by 1/‖c‖ makes cosine ranking equal plain
-    dot-product ranking, so the assignment needs neither norm at
-    evaluation time.  Pass ``memo_key`` (e.g. the source path) to
-    reuse the codebook across calls — it is a deterministic derived
-    artifact of the corpus, so caching cannot change results."""
-    import math
-
+    """Materialize the (tiny) per-label centroid codebook on the
+    driver — (list_ids sorted ascending, norm-scaled centroid
+    vectors).  The SUPERVISED codebook variant for corpora that carry
+    a cluster/label column; label-less corpora use
+    :func:`kmeans_codebook`.  ``memo_key`` (e.g. the source path)
+    reuses the codebook across calls; paths are fingerprinted by
+    file size/mtime so rewritten data invalidates the memo."""
     if memo_key is not None:
-        k = (memo_key, vec_col, label_col, dim)
+        k = ("label", _memo_fingerprint(memo_key), vec_col, label_col,
+             dim)
         if k in _CODEBOOK_MEMO:
             return _CODEBOOK_MEMO[k]
     rows = label_centroids(corpus, vec_col, label_col, dim).collect()
     rows.sort(key=lambda r: r.list_id)
-    ids, cents = [], []
-    for r in rows:
-        nrm = math.sqrt(sum(v * v for v in r.centroid)) or 1.0
-        ids.append(int(r.list_id))
-        cents.append([float(v) / nrm for v in r.centroid])
+    ids = [int(r.list_id) for r in rows]
+    cents = _scale_unit([list(r.centroid) for r in rows])
     if memo_key is not None:
-        _CODEBOOK_MEMO[(memo_key, vec_col, label_col, dim)] = (ids, cents)
+        _CODEBOOK_MEMO[k] = (ids, cents)
     return ids, cents
+
+
+def kmeans_codebook(corpus: DataFrame, id_col: str, vec_col: str,
+                    dim: int, n_lists: int = 16, iters: int = 2,
+                    memo_key=None) -> tuple[list[int], list[list[float]]]:
+    """DETERMINISTIC spherical k-means codebook — works on any
+    (id, vec) table, no label column needed (a real 100-TB embedding
+    corpus has none).
+
+    Every source of k-means nondeterminism is pinned so an oracle
+    engine replays the identical iterations:
+
+    * init: the ``n_lists`` vectors with the smallest
+      (md5(id), id) — an unbiased, seedless, order-independent
+      stratified pick; list_id = rank in that order;
+    * assignment: cosine argmax against the codebook literal, ties
+      broken toward the lowest list_id (both engines);
+    * update: per-list component means ROUNDED to 6 decimals, so the
+      two engines' summation orders cannot diverge the next
+      iteration; empty lists drop out on both sides;
+    * iteration count fixed (``iters``), no convergence test.
+
+    Scale shape: each iteration is one shuffle-free assignment
+    projection (codebook as literal ≙ broadcast) plus one
+    constant-size aggregate (n_lists × dim avg columns, partial
+    map-side) — iters+1 corpus scans total including the final
+    assignment, no quadratic step anywhere."""
+    if memo_key is not None:
+        k = ("kmeans", _memo_fingerprint(memo_key), id_col, vec_col,
+             dim, n_lists, iters)
+        if k in _CODEBOOK_MEMO:
+            return _CODEBOOK_MEMO[k]
+    seeds = (corpus.select(
+        F.col(id_col).alias("__sid"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))")
+        .alias("__vec"),
+        F.md5(F.col(id_col).cast("string")).alias("__h"))
+        .orderBy("__h", "__sid").limit(n_lists).collect())
+    ids = list(range(len(seeds)))
+    cents = [[float(x) for x in r["__vec"]] for r in seeds]
+    v = _with_norm(corpus, id_col, vec_col, "v")
+    for _ in range(iters):
+        assigned = _nearest_lists(v, (ids, _scale_unit(cents)), "v",
+                                  nprobe=1)
+        aggs = [F.round(F.avg(F.element_at(F.col("v_vec"), j + 1)), 6)
+                .alias(f"__c{j}") for j in range(dim)]
+        rows = assigned.groupBy("list_id").agg(*aggs).collect()
+        rows.sort(key=lambda r: r.list_id)
+        ids = [int(r.list_id) for r in rows]
+        cents = [[float(r[f"__c{j}"]) for j in range(dim)]
+                 for r in rows]
+    out = (ids, _scale_unit(cents))
+    if memo_key is not None:
+        _CODEBOOK_MEMO[k] = out
+    return out
 
 
 def _nearest_lists(df: DataFrame, codebook, out_id: str,
@@ -163,21 +248,30 @@ def _nearest_lists(df: DataFrame, codebook, out_id: str,
 
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
-             vec_col: str, label_col: str, dim: int, k: int = 5,
-             nprobe: int = 3, memo_key=None) -> DataFrame:
+             vec_col: str, dim: int, k: int = 5,
+             nprobe: int = 3, n_lists: int = 16, iters: int = 2,
+             memo_key=None, label_col: str | None = None) -> DataFrame:
     """IVF (inverted-file) ANN: assign every corpus vector to its
     nearest coarse centroid (its *list*), probe each query against the
     ``nprobe`` nearest lists only, exact cosine re-rank inside them.
-    Scale shape: ONE aggregate builds the codebook (constant-size,
-    collected to the driver and shipped back as literals — the
-    broadcast pattern); list assignment is a pure projection with no
-    shuffle; the only data movement is the candidate equi-join on
+    The codebook comes from deterministic k-means over the vectors
+    themselves (:func:`kmeans_codebook`) — no label column needed;
+    pass ``label_col`` to use the supervised per-label variant
+    instead.  Scale shape: constant-size aggregates build the
+    codebook (collected to the driver and shipped back as literals —
+    the broadcast pattern); list assignment is a pure projection with
+    no shuffle; the only data movement is the candidate equi-join on
     list_id; with n_lists ≫ nprobe the re-rank touches
     ~nprobe/n_lists of the corpus.  Complements sign-LSH
     (`lsh_bucketed_topk`): IVF adapts to the data distribution, LSH
     is data-independent."""
-    cb = collect_codebook(corpus, vec_col, label_col, dim,
-                          memo_key=memo_key)
+    if label_col is not None:
+        cb = collect_codebook(corpus, vec_col, label_col, dim,
+                              memo_key=memo_key)
+    else:
+        cb = kmeans_codebook(corpus, id_col, vec_col, dim,
+                             n_lists=n_lists, iters=iters,
+                             memo_key=memo_key)
     n = _nearest_lists(_with_norm(corpus, id_col, vec_col, "neighbor_id"),
                        cb, "neighbor_id", nprobe=1)
     q = _nearest_lists(_with_norm(queries, id_col, vec_col, "query_id"),
@@ -198,11 +292,18 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
 
 
 def ivf_list_sizes(corpus: DataFrame, id_col: str, vec_col: str,
-                   label_col: str, dim: int, memo_key=None) -> DataFrame:
+                   dim: int, n_lists: int = 16, iters: int = 2,
+                   memo_key=None, label_col: str | None = None
+                   ) -> DataFrame:
     """(list_id, n_vectors): the IVF partition histogram — the skew
     diagnostic you'd watch before trusting nprobe at scale."""
-    cb = collect_codebook(corpus, vec_col, label_col, dim,
-                          memo_key=memo_key)
+    if label_col is not None:
+        cb = collect_codebook(corpus, vec_col, label_col, dim,
+                              memo_key=memo_key)
+    else:
+        cb = kmeans_codebook(corpus, id_col, vec_col, dim,
+                             n_lists=n_lists, iters=iters,
+                             memo_key=memo_key)
     n = _nearest_lists(_with_norm(corpus, id_col, vec_col, "neighbor_id"),
                        cb, "neighbor_id", nprobe=1)
     return (n.groupBy("list_id")

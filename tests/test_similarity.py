@@ -54,21 +54,61 @@ def test_ivf_recall_beats_probe_fraction(spark):
 
     def recall(nprobe: int) -> float:
         approx = _topk_sets(ivf_topk(
-            queries, emb, "vec_id", "embedding", "label", 64,
-            k=5, nprobe=nprobe))
+            queries, emb, "vec_id", "embedding", 64,
+            k=5, nprobe=nprobe, n_lists=16, iters=2,
+            memo_key=SF_DIR))
         per_q = [len(exact[q] & approx.get(q, set())) / len(exact[q])
                  for q in exact]
         return sum(per_q) / len(per_q)
 
-    r1, r3, r_all = recall(1), recall(3), recall(10)
+    r1, r3, r_all = recall(1), recall(3), recall(16)
     assert r3 >= r1
     assert r3 >= 0.2, f"ivf nprobe=3 recall@5 collapsed: {r3}"
     assert r_all == 1.0, f"nprobe=n_lists must be exact, got {r_all}"
 
 
 def test_ivf_lists_partition_corpus(spark):
-    """Every corpus vector lands in exactly one inverted list."""
+    """Every corpus vector lands in exactly one inverted list — with
+    the label-free k-means codebook, as on a real corpus."""
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    sizes = ivf_list_sizes(emb, "vec_id", "embedding", "label", 64).collect()
+    sizes = ivf_list_sizes(emb, "vec_id", "embedding", 64,
+                           n_lists=16, iters=2,
+                           memo_key=SF_DIR).collect()
     assert sum(r.n_vectors for r in sizes) == emb.count()
-    assert len(sizes) <= 10
+    assert len(sizes) <= 16
+
+
+def test_kmeans_codebook_deterministic_and_memo_invalidates(
+        spark, tmp_path):
+    """The k-means codebook is a pure function of the data (seedless
+    md5-stratified init, fixed iterations, rounded updates): two
+    fresh computations agree exactly.  A path memo key fingerprints
+    the files, so rewriting the data at the same path invalidates
+    the cached codebook instead of serving a stale one."""
+    import os
+    import time
+
+    from lacspark.spark.similarity import kmeans_codebook
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = kmeans_codebook(emb, "vec_id", "embedding", 64,
+                        n_lists=8, iters=2)
+    b = kmeans_codebook(emb, "vec_id", "embedding", 64,
+                        n_lists=8, iters=2)
+    assert a == b
+    assert len(a[0]) <= 8 and len(a[0]) == len(a[1])
+
+    # memo invalidation: same path, different data → different book
+    path = str(tmp_path / "vecs.parquet")
+    emb.limit(100).write.mode("overwrite").parquet(path)
+    first = kmeans_codebook(spark.read.parquet(path), "vec_id",
+                            "embedding", 64, n_lists=4, iters=1,
+                            memo_key=path)
+    time.sleep(0.01)
+    emb.filter("vec_id >= 200").limit(100).write.mode("overwrite") \
+        .parquet(path)
+    os.utime(path)  # directory mtime; file mtimes changed by rewrite
+    second = kmeans_codebook(spark.read.parquet(path), "vec_id",
+                             "embedding", 64, n_lists=4, iters=1,
+                             memo_key=path)
+    assert first != second

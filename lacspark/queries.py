@@ -1082,22 +1082,46 @@ def dedup_exact_groups_q(spark, sf_dir):
                                   "doc_id", "text")
 
 
-@register("dedup_embedding_keep_best", """
-    with v as (select vec_id, embedding::DOUBLE[] e,
-                      (%s)::BIGINT as bucket
+def _emb_band_ctes(nbits: int = 8, nbands: int = 2,
+                   threshold: float = 0.30) -> str:
+    """Shared DuckDB CTEs for the multi-band embedding sign-LSH
+    family, mirroring dedup.embedding_near_duplicates: one b-bit
+    sign code per disjoint dim slice, candidates = distinct pairs
+    sharing ANY band's code, exact cosine verify on the pair."""
+    def code(b):
+        return " + ".join(
+            f"(case when embedding[{b * nbits + j + 1}] > 0 "
+            f"then {1 << j} else 0 end)" for j in range(nbits))
+    codes = ", ".join(f"({code(b)})::BIGINT as c{b}"
+                      for b in range(nbands))
+    band_union = " union all ".join(
+        f"select vec_id, {b} as band, c{b} as code from v"
+        for b in range(nbands))
+    cos = ("list_dot_product(x.e, y.e) / "
+           "(sqrt(list_dot_product(x.e, x.e)) "
+           "* sqrt(list_dot_product(y.e, y.e)))")
+    return f"""
+    with v as (select vec_id, embedding::DOUBLE[] e, {codes}
                from embeddings),
+    bands as ({band_union}),
+    cand as (select distinct a.vec_id as d1, b.vec_id as d2
+             from bands a join bands b
+               on a.band = b.band and a.code = b.code
+                  and a.vec_id < b.vec_id),
     pairs as (
-        select a.vec_id as d1, b.vec_id as d2
-        from v a join v b on a.bucket = b.bucket and a.vec_id < b.vec_id
-        where list_dot_product(a.e, b.e) /
-              (sqrt(list_dot_product(a.e, a.e))
-               * sqrt(list_dot_product(b.e, b.e))) >= 0.30),
-    sym as (select d1 as a, d2 as b from pairs
-            union all select d2, d1 from pairs)
+        select d1, d2, {cos} as cos
+        from cand join v x on x.vec_id = cand.d1
+                  join v y on y.vec_id = cand.d2
+        where {cos} >= {threshold})
+"""
+
+
+@register("dedup_embedding_keep_best", _emb_band_ctes() + """
+    , sym as (select d1 as a, d2 as b from pairs
+              union all select d2, d1 from pairs)
     select a as dropped_id, min(b) as kept_id
     from sym group by a having min(b) < a
-""" % " + ".join(f"(case when embedding[{j + 1}] > 0 then {1 << j} else 0 end)"
-                 for j in range(8)))
+""")
 def dedup_embedding_keep_best(spark, sf_dir):
     """SemDeDup-style resolution over embedding near-dup pairs: a
     vector is DROPPED when any cosine-similar neighbor has a smaller
@@ -1117,29 +1141,17 @@ def dedup_embedding_keep_best(spark, sf_dir):
             .filter(F.col("kept_id") < F.col("dropped_id")))
 
 
-@register("dedup_embedding_cosine", """
-    with v as (select vec_id, embedding::DOUBLE[] e,
-                      (%s)::BIGINT as bucket
-               from embeddings)
-    select a.vec_id as d1, b.vec_id as d2,
-           cast(round(list_dot_product(a.e, b.e) /
-                (sqrt(list_dot_product(a.e, a.e))
-                 * sqrt(list_dot_product(b.e, b.e))), 6) as double)
-               as cosine
-    from v a join v b on a.bucket = b.bucket and a.vec_id < b.vec_id
-    where list_dot_product(a.e, b.e) /
-          (sqrt(list_dot_product(a.e, a.e))
-           * sqrt(list_dot_product(b.e, b.e))) >= 0.30
-""" % " + ".join(f"(case when embedding[{j + 1}] > 0 then {1 << j} else 0 end)"
-                 for j in range(8)))
+@register("dedup_embedding_cosine", _emb_band_ctes() + """
+    select d1, d2, cast(round(cos, 6) as double) as cosine from pairs
+""")
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup (sign-LSH candidates + exact cosine
-    verify).  Threshold 0.30 so the synthetic random embeddings yield
-    a non-trivial result set."""
+    """Embedding-cosine near-dup (multi-band sign-LSH candidates +
+    exact cosine verify).  Threshold 0.30 so the synthetic random
+    embeddings yield a non-trivial result set."""
     from .spark.dedup import embedding_near_duplicates
     return embedding_near_duplicates(load(spark, sf_dir, "embeddings"),
                                      "vec_id", "embedding",
-                                     threshold=0.30, nbits=8)
+                                     threshold=0.30, nbits=8, nbands=2)
 
 
 def _ann_lsh_oracle() -> str:

@@ -197,17 +197,50 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
 
 def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
                               threshold: float = 0.95,
-                              nbits: int = 8) -> DataFrame:
-    """Embedding-cosine near-dup: sign-LSH bucket equi-join limits
-    candidates, exact cosine verifies.  (d1, d2, cosine)."""
+                              nbits: int = 8, nbands: int = 2,
+                              max_bucket: int | None = 20_000
+                              ) -> DataFrame:
+    """Embedding-cosine near-dup: MULTI-BAND sign-LSH candidates +
+    exact cosine verify.  (d1, d2, cosine).
+
+    Scale posture (the round-2 fix): a single 2^nbits code is a hard
+    bucket ceiling — at 10^9 vectors, 256 buckets means ~4M rows per
+    bucket and a quadratic self-join inside each.  Two guards:
+
+    * ``nbands`` independent b-bit codes over disjoint dim slices —
+      a pair is a candidate if ANY band matches (recall ↑), and
+      total selectivity scales with nbands × 2^nbits buckets;
+    * ``max_bucket`` drops degenerate (band, code) buckets before the
+      self-join (same guard as the minhash path's lsh_candidates) —
+      a pathological all-same-sign corpus can no longer go quadratic.
+
+    The band join moves only (id, band, code) rows; vectors ride
+    along only for the verified candidate pairs (two equi-joins pull
+    each side's array onto the pair row)."""
+    from pyspark.sql.window import Window
+
     from .similarity import _DOT, _with_norm, sign_bucket
 
-    a = _with_norm(df, id_col, vec_col, "d1") \
-        .withColumn("bucket", sign_bucket("d1_vec", nbits))
-    b = _with_norm(df, id_col, vec_col, "d2") \
-        .withColumn("bucket", sign_bucket("d2_vec", nbits))
-    pairs = (a.join(b, "bucket")
-             .filter(F.col("d1") < F.col("d2"))
+    v = _with_norm(df, id_col, vec_col, "d")
+    codes = F.array(*[sign_bucket("d_vec", nbits, offset=b * nbits)
+                      for b in range(nbands)])
+    bands = explode_once(v.select("d", codes.alias("__codes")),
+                         ["d"], "__codes", "code", with_pos="band")
+    if max_bucket is not None:
+        bands = (bands.withColumn(
+            "__n", F.count(F.lit(1)).over(
+                Window.partitionBy("band", "code")))
+            .filter(F.col("__n") <= max_bucket).drop("__n"))
+    a = bands.select(F.col("d").alias("d1"), "band", "code")
+    b = bands.select(F.col("d").alias("d2"), "band", "code")
+    cand = (a.join(b, ["band", "code"])
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2").distinct())
+    s1 = v.select(F.col("d").alias("d1"), F.col("d_vec").alias("d1_vec"),
+                  F.col("d_norm").alias("d1_norm"))
+    s2 = v.select(F.col("d").alias("d2"), F.col("d_vec").alias("d2_vec"),
+                  F.col("d_norm").alias("d2_norm"))
+    pairs = (cand.join(s1, "d1").join(s2, "d2")
              .withColumn("cosine",
                          F.expr(_DOT.format(a="d1_vec", b="d2_vec"))
                          / (F.col("d1_norm") * F.col("d2_norm"))))

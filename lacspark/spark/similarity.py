@@ -49,10 +49,12 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
                     F.round("cosine", 6).alias("cosine")))
 
 
-def sign_bucket(vec_col: str, nbits: int = 8):
-    """Column expr: nbits-bit sign code of the leading dims."""
+def sign_bucket(vec_col: str, nbits: int = 8, offset: int = 0):
+    """Column expr: nbits-bit sign code of dims
+    [offset+1, offset+nbits].  Independent ``offset`` slices give the
+    independent bands of multi-band LSH."""
     expr = " + ".join(
-        f"(case when element_at({vec_col}, {j + 1}) > 0 "
+        f"(case when element_at({vec_col}, {offset + j + 1}) > 0 "
         f"then {1 << j} else 0 end)" for j in range(nbits))
     return F.expr(f"cast({expr} as bigint)")
 
@@ -312,7 +314,8 @@ def ivf_list_sizes(corpus: DataFrame, id_col: str, vec_col: str,
 
 def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
                       vec_col: str, k: int = 5, nbits: int = 8,
-                      probe_radius: int = 2) -> DataFrame:
+                      probe_radius: int = 2,
+                      max_bucket: int | None = 100_000) -> DataFrame:
     """Approximate top-k with MULTI-PROBE sign LSH: each query probes
     every bucket within ``probe_radius`` sign-bit flips of its own
     code (radius 2 on 8 bits = 37 of 256 codes → ~14% of the corpus
@@ -320,7 +323,13 @@ def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
     to probe codes (tiny side multiplies, corpus is shuffled ONCE by
     bucket), so at 10^12 scale no cross-join ever materializes.  Each
     (query, neighbor) pair matches at most one probe (a neighbor has
-    exactly one bucket), so no dedup is needed before ranking."""
+    exactly one bucket), so no dedup is needed before ranking.
+
+    ``max_bucket`` caps the corpus side of the equi-join: a
+    degenerate code holding more than that many vectors is dropped
+    from candidate generation (recall degrades gracefully instead of
+    the join going quadratic on an adversarial all-same-sign corpus).
+    Inert at test scale; the production knob for 10^9+ vectors."""
     masks = probe_masks(nbits, probe_radius)
     q = (_with_norm(queries, id_col, vec_col, "query_id")
          .withColumn("__code", sign_bucket("query_id_vec", nbits))
@@ -331,6 +340,11 @@ def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
          .drop("__code", "__mask"))
     n = _with_norm(corpus, id_col, vec_col, "neighbor_id") \
         .withColumn("bucket", sign_bucket("neighbor_id_vec", nbits))
+    if max_bucket is not None:
+        n = (n.withColumn(
+            "__n", F.count(F.lit(1)).over(
+                Window.partitionBy("bucket")))
+            .filter(F.col("__n") <= max_bucket).drop("__n"))
     pairs = (q.join(n, "bucket")
              .filter(F.col("neighbor_id") != F.col("query_id"))
              .withColumn("cosine",

@@ -114,3 +114,79 @@ def test_simhash_plan_has_no_keyed_shuffle(spark, tmp_path):
     plan = SPARK_QUERIES["dedup_simhash"](spark, sf) \
         ._jdf.queryExecution().executedPlan().toString().lower()
     assert "hashpartitioning" not in plan
+
+
+def test_embedding_lsh_bucket_cap_survives_degenerate_corpus(spark):
+    """Adversarial all-one-bucket corpus: every vector has identical
+    signs in every band, so without a cap candidate generation is
+    n(n-1)/2.  With max_bucket below the corpus size the degenerate
+    buckets are dropped and the query completes with zero pairs;
+    uncapped, the same corpus yields the full quadratic pair set."""
+    from pyspark.sql import functions as F
+
+    from lacspark.spark.dedup import embedding_near_duplicates
+
+    n = 300
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(1, 16), "
+               "j -> cast(1.0 + 0.001 * (id % 7) as float))")
+        .alias("embedding"))
+    capped = embedding_near_duplicates(
+        vecs, "vec_id", "embedding", threshold=0.0,
+        nbits=8, nbands=2, max_bucket=100)
+    assert capped.count() == 0
+    uncapped = embedding_near_duplicates(
+        vecs, "vec_id", "embedding", threshold=0.0,
+        nbits=8, nbands=2, max_bucket=None)
+    assert uncapped.count() == n * (n - 1) // 2
+
+
+def test_ann_lsh_topk_bucket_cap(spark):
+    """Same guard on the ANN path: a degenerate corpus bucket larger
+    than max_bucket is dropped from the equi-join (graceful recall
+    loss, no quadratic blowup)."""
+    from pyspark.sql import functions as F
+
+    from lacspark.spark.similarity import lsh_bucketed_topk
+
+    n = 200
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(1, 16), "
+               "j -> cast(1.0 + 0.001 * (id % 5) as float))")
+        .alias("embedding"))
+    q = vecs.filter(F.col("vec_id") < 3)
+    capped = lsh_bucketed_topk(q, vecs, "vec_id", "embedding",
+                               k=5, nbits=8, probe_radius=0,
+                               max_bucket=50)
+    assert capped.count() == 0
+    uncapped = lsh_bucketed_topk(q, vecs, "vec_id", "embedding",
+                                 k=5, nbits=8, probe_radius=0,
+                                 max_bucket=None)
+    assert uncapped.count() == 15  # 3 queries x top-5
+
+
+def test_multiband_catches_first_band_sign_flip(spark):
+    """A near-identical pair whose only sign difference falls in
+    band 0's dims is invisible to a single 8-bit code but caught by
+    the second band — the recall mechanism multi-banding exists for."""
+    from pyspark.sql import functions as F
+
+    from lacspark.spark.dedup import embedding_near_duplicates
+
+    base = [0.9] * 16
+    flipped = list(base)
+    flipped[0] = -0.001          # band-0 sign flip, tiny cosine cost
+    far = [(-1.0) ** j * 2.0 for j in range(16)]
+    vecs = spark.createDataFrame(
+        [(0, base), (1, flipped), (2, far)],
+        "vec_id bigint, embedding array<double>")
+    one_band = embedding_near_duplicates(
+        vecs, "vec_id", "embedding", threshold=0.9,
+        nbits=8, nbands=1, max_bucket=None)
+    two_band = embedding_near_duplicates(
+        vecs, "vec_id", "embedding", threshold=0.9,
+        nbits=8, nbands=2, max_bucket=None)
+    assert one_band.count() == 0
+    assert [(r.d1, r.d2) for r in two_band.collect()] == [(0, 1)]

@@ -91,10 +91,18 @@ class LacEngine:
         updated weights under ``model_save_dir``, hot-reload them into
         this engine, and (optionally) report chunk P/R/F1 on
         ``test_data``.  Pass a SparkSession to run the gradient
-        epochs data-parallel (nets.py:335-346)."""
+        epochs data-parallel (nets.py:335-346).
+
+        ``mode='rank'`` fits the RANK HEAD (tag-conditioned Bi-GRU +
+        importance softmax) on ``word/tag/rank`` lines — going beyond
+        the reference, whose RankModel.train is an unimplemented stub
+        (models.py:376-379)."""
         from .train_full import fit_full_local, fit_full_spark
         from .training import parse_seg_line, parse_tagged_line
 
+        if mode == "rank":
+            return self._train_rank(model_save_dir, train_data,
+                                    iter_num=iter_num, lr=lr)
         net = self.lac_net if mode == "lac" else self.seg_net
         labels_list = LAC_LABELS if mode == "lac" else SEG_LABELS
         lab2id = {l: i for i, l in enumerate(labels_list)}
@@ -126,7 +134,11 @@ class LacEngine:
                 [(s.tolist(), l.tolist())
                  for s, l in zip(id_seqs, label_seqs)],
                 "ids array<long>, labels array<long>").cache()
-            trace = fit_full_spark(spark, df, net, lr=lr, epochs=iter_num)
+            try:
+                trace = fit_full_spark(spark, df, net, lr=lr,
+                                       epochs=iter_num)
+            finally:
+                df.unpersist()
         else:
             trace = fit_full_local(net, id_seqs, label_seqs, lr=lr,
                                    epochs=iter_num)
@@ -146,6 +158,39 @@ class LacEngine:
                               [labels_list[i] for i in pred]))
             result.update(chunk_prf(pairs))
         return result
+
+    def _train_rank(self, model_save_dir: str, train_data: str,
+                    iter_num: int = 10, lr: float = 1e-2) -> dict:
+        """Fit the rank head on ``word/tag/rank`` lines: char-level
+        ids via the encoder, char-level LAC tag ids, per-char target
+        importance.  Saves/hot-reloads lac_weights.npz (the rank
+        tensors live alongside the tagger's)."""
+        from .train_full import fit_rank_local
+        from .training import parse_rank_line
+
+        lab2id = {l: i for i, l in enumerate(LAC_LABELS)}
+        id_seqs, tag_seqs, rank_seqs = [], [], []
+        with open(train_data, encoding="utf-8") as fh:
+            for line in fh:
+                text, labels, ranks = parse_rank_line(line)
+                if not labels or any(l not in lab2id for l in labels):
+                    continue
+                ids = np.asarray(self.encoder.encode_chars(text),
+                                 dtype=np.int64)
+                if len(ids) != len(labels):
+                    continue
+                id_seqs.append(ids)
+                tag_seqs.append(np.asarray(
+                    [lab2id[l] for l in labels], dtype=np.int64))
+                rank_seqs.append(np.asarray(ranks, dtype=np.int64))
+        if not id_seqs:
+            raise ValueError(f"no trainable rank rows in {train_data}")
+        trace = fit_rank_local(self.lac_net, id_seqs, tag_seqs,
+                               rank_seqs, lr=lr, epochs=iter_num)
+        os.makedirs(model_save_dir, exist_ok=True)
+        out_path = os.path.join(model_save_dir, "lac_weights.npz")
+        np.savez(out_path, **self.lac_net.w)
+        return {"nll_trace": trace, "model_path": out_path}
 
     # ------------------------------------------------------------------
     def run_batch(self, texts: list[str], mode: str = "lac",

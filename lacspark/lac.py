@@ -64,11 +64,15 @@ class LAC:
               thread_num: int = 10) -> dict:
         """Incremental training, reference signature (lac.py:83-92).
         ``thread_num`` is accepted for parity; parallel training is
-        the Spark path (LacEngine.train(spark=…))."""
-        mode = "seg" if self.mode == "seg" else "lac"
+        the Spark path (LacEngine.train(spark=…)).  mode='rank'
+        trains the RANK HEAD on ``word/tag/rank`` lines — an upgrade
+        over the reference, whose RankModel.train is an unimplemented
+        stub (models.py:376-379); test_data P/R/F1 applies to the
+        tagger modes only."""
         return self.engine.train(model_save_dir, train_data,
-                                 test_data=test_data, iter_num=iter_num,
-                                 mode=mode)
+                                 test_data=None if self.mode == "rank"
+                                 else test_data,
+                                 iter_num=iter_num, mode=self.mode)
 
     def load_customization(self, customization_file: str,
                            sep: str | None = None) -> None:

@@ -393,10 +393,16 @@ def fit_full_local(net, id_seqs, label_seqs, lr: float = 1e-2,
     return trace
 
 
-def partition_grads_df(df, params: dict[str, np.ndarray], n_layers: int):
+def partition_grads_df(df, params: dict[str, np.ndarray], n_layers: int,
+                       return_broadcast: bool = False):
     """One row per partition: (nll double, n long, grad array<double>)
     — the map-side combine of synchronous data-parallel training.
-    ``df`` columns: ids array<long>, labels array<long>."""
+    ``df`` columns: ids array<long>, labels array<long>.
+
+    With ``return_broadcast`` the θ broadcast handle is returned too
+    so the caller can destroy it after the epoch's collect — a fresh
+    broadcast is created per call, and an epoch loop that never frees
+    them grows executor+driver memory linearly with epochs."""
     from typing import Iterator
 
     import pandas as pd
@@ -426,8 +432,9 @@ def partition_grads_df(df, params: dict[str, np.ndarray], n_layers: int):
         yield pd.DataFrame({"nll": [nll_sum], "n": [n],
                             "grad": [g_sum]})
 
-    return df.mapInPandas(
+    out = df.mapInPandas(
         run, schema="nll double, n long, grad array<double>")
+    return (out, bc) if return_broadcast else out
 
 
 def fit_full_spark(spark, df, net, lr: float = 1e-2,
@@ -443,7 +450,12 @@ def fit_full_spark(spark, df, net, lr: float = 1e-2,
     opt = Adam(lr)
     trace = []
     for _ in range(epochs):
-        rows = partition_grads_df(df, params, net.n_layers).collect()
+        grads_df, bc = partition_grads_df(df, params, net.n_layers,
+                                          return_broadcast=True)
+        rows = grads_df.collect()
+        # each epoch broadcasts a fresh θ; free the old one or
+        # executor/driver memory grows linearly with epochs
+        bc.destroy()
         n = sum(r.n for r in rows) or 1
         g = np.zeros(flatten_params(params).size)
         for r in rows:

@@ -46,6 +46,29 @@ def parse_tagged_line(line: str) -> tuple[str, list[str]]:
     return "".join(text_parts), labels
 
 
+def parse_rank_line(line: str) -> tuple[str, list[str], list[int]]:
+    """``word/tag/rank`` pieces → (text, char-level IOB2 labels,
+    char-level importance 0-3, word rank replicated per char).  The
+    supervision format for the rank head; the reference never defines
+    one because its RankModel.train is an unimplemented stub
+    (models.py:376-379 logs "To be continued" and returns).
+    Malformed items invalidate the whole line, like the tag parser."""
+    text_parts: list[str] = []
+    labels: list[str] = []
+    ranks: list[int] = []
+    for item in line.strip().split():
+        parts = item.rsplit("/", 2)
+        if len(parts) != 3 or not all(parts):
+            return "", [], []
+        word, tag, rank = parts
+        if not rank.isdigit() or not 0 <= int(rank) <= 3:
+            return "", [], []
+        text_parts.append(word)
+        labels.extend([tag + "-B"] + [tag + "-I"] * (len(word) - 1))
+        ranks.extend([int(rank)] * len(word))
+    return "".join(text_parts), labels, ranks
+
+
 def parse_seg_line(line: str) -> tuple[str, list[str]]:
     """Space-segmented text → (text, -B/-I/-E/-S labels)."""
     labels: list[str] = []

@@ -170,3 +170,42 @@ def test_training_rows_reader(spark, tmp_path):
     assert rows["百度是公司"][:3] == ["ORG-B", "ORG-I", "v-B"]
     assert "spark好" in rows
     assert len(rows) == 2  # broken line dropped
+
+
+def test_parse_rank_line():
+    from lacspark.training import parse_rank_line
+
+    text, labels, ranks = parse_rank_line("百度/ORG/3 是/v/0 公司/n/2\n")
+    assert text == "百度是公司"
+    assert labels == ["ORG-B", "ORG-I", "v-B", "n-B", "n-I"]
+    assert ranks == [3, 3, 0, 2, 2]
+    # malformed items invalidate the whole line, like the tag parser
+    assert parse_rank_line("好/a") == ("", [], [])
+    assert parse_rank_line("好/a/9") == ("", [], [])
+    assert parse_rank_line("好//1") == ("", [], [])
+
+
+def test_rank_mode_train_fits_rank_head(tmp_path):
+    """LAC(mode='rank').train must fit the RANK head (the reference's
+    RankModel.train is a 'To be continued' stub, models.py:376-379):
+    NLL drops and the trained engine reproduces the taught
+    importances, while the tagger weights stay untouched."""
+    import numpy as np
+
+    from lacspark.lac import LAC
+
+    lac = LAC(mode="rank")
+    eng = lac.engine
+    # teach: ORG words rank 3, function word rank 0
+    corpus = "\n".join(["百度/ORG/3 是/v/0 公司/n/1"] * 4) + "\n"
+    p = tmp_path / "rank_train.tsv"
+    p.write_text(corpus, encoding="utf8")
+    crf_before = eng.lac_net.w["crf_trans"].copy()
+    out = lac.train(str(tmp_path / "model"), str(p), iter_num=25)
+    assert out["nll_trace"][-1] < out["nll_trace"][0]
+    # tagger tensors untouched — only the rank head moved
+    np.testing.assert_array_equal(eng.lac_net.w["crf_trans"], crf_before)
+    # saved weights hot-reload into a fresh facade
+    lac2 = LAC(model_path=str(tmp_path / "model"), mode="rank")
+    words, tags, ranks = lac2.run("百度是公司")
+    assert len(ranks) == len(words)

@@ -265,9 +265,12 @@ class LacEngine:
         """Return (mentions, triples) for one analyzed row.
 
         mentions: (word, tag, rank, word_idx, char_begin)
-        triples:  (subj, pred, obj, conf) — consecutive mention pairs
-        ≤ ``window`` words apart linked by the highest-rank predicate
-        word (tag ∈ v/vd/vn/p) strictly between them.
+        triples:  (subj, pred, obj, conf, sal) — consecutive mention
+        pairs ≤ ``window`` words apart linked by the highest-rank
+        predicate word (tag ∈ v/vd/vn/p) strictly between them.
+        conf = (1 + pred rank) / 4; sal = subj rank + obj rank (the
+        O17 word-importance of the two mentions, carried so edge
+        weights can be salience-aware downstream).
         """
         words, tags = analysis.words, analysis.tags
         ranks = analysis.ranks or [0] * len(words)
@@ -289,7 +292,8 @@ class LacEngine:
                 continue
             _, _, j = max(preds)
             conf = (1.0 + int(ranks[j])) / 4.0
-            triples.append((words[a], words[j], words[b], conf))
+            sal = int(ranks[a]) + int(ranks[b])
+            triples.append((words[a], words[j], words[b], conf, sal))
         return mentions, triples
 
 

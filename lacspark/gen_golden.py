@@ -184,7 +184,8 @@ def gen_for_sf(tag: str, sf_dir: str) -> None:
         "subj": ([r[1] for r in triple_rows], pa.string()),
         "pred": ([r[2] for r in triple_rows], pa.string()),
         "obj": ([r[3] for r in triple_rows], pa.string()),
-        "conf": ([r[4] for r in triple_rows], pa.float64())}, subdir=tag)
+        "conf": ([r[4] for r in triple_rows], pa.float64()),
+        "sal": ([r[5] for r in triple_rows], pa.int32())}, subdir=tag)
     print(f"{tag}/kg_triples: {n} rows")
 
     # kg_entity_linking: (form, canonical, entity_id)
@@ -220,24 +221,29 @@ def gen_for_sf(tag: str, sf_dir: str) -> None:
         "top_tag": ([r[6] for r in vrows], pa.string())}, subdir=tag)
     print(f"{tag}/kg_vertices: {n} rows")
 
-    # kg_edges ≡ graph.build_edges
+    # kg_edges ≡ graph.build_edges (salience-aware weight:
+    # conf x (1 + sal) per provenance — exact multiples of 0.25, so
+    # the sum is order-independent across engines)
     estats: dict[tuple, list] = {}
-    for _, subj, pred, obj, conf in triple_rows:
+    for _, subj, pred, obj, conf, sal in triple_rows:
         sc, sid = _canonical(subj, cmap)
         oc, oid = _canonical(obj, cmap)
         key = (sid, sc, _form(pred), oid, oc)
-        agg = estats.setdefault(key, [0.0, 0])
-        agg[0] += conf
-        agg[1] += 1
-    erows = sorted((k, w, c) for k, (w, c) in estats.items())
+        agg = estats.setdefault(key, [0.0, 0, 0])
+        agg[0] += conf * (1 + sal)
+        agg[1] += sal
+        agg[2] += 1
+    erows = sorted((k, w, s, c) for k, (w, s, c) in estats.items())
     n = _write("kg_edges", {
-        "subj_id": ([k[0] for k, _, _ in erows], pa.int64()),
-        "subj_canonical": ([k[1] for k, _, _ in erows], pa.string()),
-        "pred": ([k[2] for k, _, _ in erows], pa.string()),
-        "obj_id": ([k[3] for k, _, _ in erows], pa.int64()),
-        "obj_canonical": ([k[4] for k, _, _ in erows], pa.string()),
-        "weight": ([w for _, w, _ in erows], pa.float64()),
-        "n_provenance": ([c for _, _, c in erows], pa.int64())}, subdir=tag)
+        "subj_id": ([k[0] for k, *_ in erows], pa.int64()),
+        "subj_canonical": ([k[1] for k, *_ in erows], pa.string()),
+        "pred": ([k[2] for k, *_ in erows], pa.string()),
+        "obj_id": ([k[3] for k, *_ in erows], pa.int64()),
+        "obj_canonical": ([k[4] for k, *_ in erows], pa.string()),
+        "weight": ([w for _, w, _, _ in erows], pa.float64()),
+        "salience": ([s for _, _, s, _ in erows], pa.int64()),
+        "n_provenance": ([c for _, _, _, c in erows], pa.int64())},
+        subdir=tag)
     print(f"{tag}/kg_edges: {n} rows")
 
     # mention_salience_topk ≡ kg.mention_salience_topk(keys=[doc_id], k=5)

@@ -49,11 +49,22 @@ def build_vertices(mentions: DataFrame, cmap: DataFrame,
 
 
 def build_edges(triples: DataFrame, cmap: DataFrame) -> DataFrame:
+    """Edge weight is SALIENCE-AWARE: each provenance triple
+    contributes conf × (1 + sal), where sal = subject rank + object
+    rank (O17 word importance) and conf = (1 + predicate rank)/4 — an
+    edge between two salient mentions outweighs one between
+    throwaway tokens at equal provenance count.  Every term is an
+    exact multiple of 0.25 (conf ∈ {0.25..1.0}, sal integer ≤ 6), so
+    the sum is order-independent across partitionings and engines.
+    ``salience`` aggregates the raw mention importance separately
+    for consumers that want it unmixed."""
     t = _with_canonical(triples, cmap, "subj", "subj")
     t = _with_canonical(t, cmap, "obj", "obj")
     return (t.withColumn("pred_norm", F.lower(F.trim("pred")))
             .groupBy("subj_id", "subj_canonical", "pred_norm",
                      "obj_id", "obj_canonical")
-            .agg(F.sum("conf").alias("weight"),
+            .agg(F.sum(F.col("conf") * (1 + F.col("sal")))
+                 .alias("weight"),
+                 F.sum("sal").cast("long").alias("salience"),
                  F.count(F.lit(1)).alias("n_provenance"))
             .withColumnRenamed("pred_norm", "pred"))

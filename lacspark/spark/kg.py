@@ -110,7 +110,7 @@ def file_triples(tagged: DataFrame, keys: list[str] | None = None) -> DataFrame:
     keys = keys or FILE_KEYS
     t = tagged.select(*keys, F.explode("triples").alias("t"))
     return t.select(*keys, "t.sent_id", "t.subj", "t.pred", "t.obj",
-                    "t.conf")
+                    "t.conf", "t.sal")
 
 
 def mention_salience_topk(mentions: DataFrame, keys: list[str],

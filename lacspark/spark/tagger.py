@@ -37,6 +37,7 @@ TRIPLE_FIELDS = T.StructType([
     T.StructField("pred", T.StringType()),
     T.StructField("obj", T.StringType()),
     T.StructField("conf", T.DoubleType()),
+    T.StructField("sal", T.IntegerType()),
 ])
 
 TAG_OUTPUT_FIELDS = [
@@ -128,6 +129,7 @@ def explode_mentions(tagged: DataFrame, keys: list[str]) -> DataFrame:
 
 
 def explode_triples(tagged: DataFrame, keys: list[str]) -> DataFrame:
-    """K4: one row per (subj, pred, obj, conf)."""
+    """K4: one row per (subj, pred, obj, conf, sal)."""
     t = tagged.select(*keys, F.explode("triples").alias("t"))
-    return t.select(*keys, "t.subj", "t.pred", "t.obj", "t.conf")
+    return t.select(*keys, "t.subj", "t.pred", "t.obj", "t.conf",
+                    "t.sal")

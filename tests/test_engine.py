@@ -103,8 +103,9 @@ def test_extract_mentions_triples_shape():
         assert res.words[widx] == word
         assert res.tags[widx] == tag
         assert 0 <= rank <= 3
-    for subj, pred, obj, conf in triples:
+    for subj, pred, obj, conf, sal in triples:
         assert conf in (0.25, 0.5, 0.75, 1.0)
+        assert 0 <= sal <= 6  # subj rank + obj rank, each 0-3
 
 
 def test_seg_mode_tags_are_empty_strings():

@@ -40,7 +40,8 @@ def test_tagger_matches_oracle_exactly(spark, docs):
         assert list(g.ranks) == (o.ranks or [0] * len(o.words))
         om, ot = eng.extract(o)
         assert [tuple(m) for m in g.mentions] == om
-        assert [(t.subj, t.pred, t.obj, t.conf) for t in g.triples] == ot
+        assert [(t.subj, t.pred, t.obj, t.conf, t.sal)
+                for t in g.triples] == ot
 
 
 def test_custom_lines_respected_in_udf(spark):
@@ -169,3 +170,26 @@ def test_very_long_document_through_spark_tagger(spark):
     assert "".join(out[2].words) == "short row"
     assert out[3].words == []
     assert len(out[1].ranks) == len(out[1].words)
+
+
+def test_build_edges_salience_weighting(spark):
+    """Edge weight folds O17 mention importance into provenance:
+    each triple contributes conf x (1 + subj_rank + obj_rank), so a
+    salient pair outweighs a throwaway pair at equal count; the raw
+    salience sum rides along unmixed."""
+    from lacspark.spark.graph import build_edges
+
+    triples = spark.createDataFrame(
+        [("alpha", "links", "beta", 0.5, 6),
+         ("alpha", "links", "beta", 0.25, 0),
+         ("gamma", "links", "delta", 0.75, 1)],
+        "subj string, pred string, obj string, conf double, sal int")
+    cmap = spark.createDataFrame(
+        [], "form string, canonical string, entity_id long")
+    rows = {(r.subj_canonical, r.obj_canonical): r
+            for r in build_edges(triples, cmap).collect()}
+    ab = rows[("alpha", "beta")]
+    assert ab.weight == 0.5 * 7 + 0.25 * 1   # 3.75, exact
+    assert ab.salience == 6 and ab.n_provenance == 2
+    gd = rows[("gamma", "delta")]
+    assert gd.weight == 0.75 * 2 and gd.salience == 1

@@ -542,18 +542,29 @@ def dedup_exact_pairs(spark, sf_dir):
 
 
 def _minhash_select_duck(n: int) -> str:
-    return ", ".join(
-        "min(" + _MD5INT_DUCK.format(x=f"'s{i}:' || token") + f") as mh{i}"
-        for i in range(n))
+    """Universal-hash minhash columns over the int64 shingle
+    fingerprints, mirroring dedup.minhash_signature/minhash_ab."""
+    from .spark.dedup import MINHASH_P, minhash_ab
+
+    cols = []
+    for i in range(n):
+        a, b = minhash_ab(i)
+        cols.append(f"min(({a} * (h % {MINHASH_P}) + {b}) "
+                    f"% {MINHASH_P}) as mh{i}")
+    return ", ".join(cols)
 
 
 def _minhash_pairs_duck() -> str:
     """DuckDB replica of the full minhash/LSH near-dup pipeline —
-    shared by dedup_minhash_lsh and dedup_near_keep_best."""
+    shared by dedup_minhash_lsh and dedup_near_keep_best.  One md5
+    fingerprint per distinct shingle, then universal-hash mixes (the
+    Spark side's exact arithmetic)."""
     return f"""
     with toks as ({_DUCK_TOKENS}),
     tsets as (
-        select distinct doc_id, token from (
+        select distinct doc_id,
+               {_MD5INT_DUCK.format(x="token")} as h
+        from (
             select doc_id,
                    token || ' ' || lead(token) over w || ' ' ||
                        lead(token, 2) over w as token,
@@ -580,7 +591,7 @@ def _minhash_pairs_duck() -> str:
     inter as (select c.d1, c.d2, count(*) as n_inter
               from cand c
               join tsets x on x.doc_id = c.d1
-              join tsets y on y.doc_id = c.d2 and y.token = x.token
+              join tsets y on y.doc_id = c.d2 and y.h = x.h
               group by c.d1, c.d2)
     select c.d1, c.d2,
            cast(round(coalesce(i.n_inter, 0) * 1.0 /

@@ -95,17 +95,45 @@ def exact_duplicate_groups(df: DataFrame, id_col: str,
             .filter(F.col("n_docs") > 1))
 
 
+# Universal-hash family over a 31-bit prime field: one md5 turns each
+# shingle into an int64 fingerprint, then every minhash function is a
+# cheap (a_i*h + b_i) mod p mix — instead of num_hashes FULL md5
+# passes over the shingle strings (the round-2 formulation's cost).
+# a < 2^31 and h mod p < 2^31 keep the product under 2^62: no bigint
+# overflow under ANSI mode, identical arithmetic in any engine.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_ab(i: int) -> tuple[int, int]:
+    """Fixed, engine-replicable multiplier/offset for hash i."""
+    return ((104729 * (i + 1) + 7919) % MINHASH_P,
+            (7919 * (i + 1) + 104729) % MINHASH_P)
+
+
+def hash_shingles(shsets: DataFrame, id_col: str) -> DataFrame:
+    """(id, shset: array<string>) → (id, shset: array<bigint>): one
+    md5 fingerprint per shingle.  Signatures AND the exact-jaccard
+    verify then run on int arrays — cheaper mixes, cheaper
+    intersections, and candidate pairs ship 8-byte ints instead of
+    shingle text."""
+    h = MD5INT.format(x="s")
+    return shsets.select(
+        id_col, F.expr(f"transform(shset, s -> {h})").alias("shset"))
+
+
 def minhash_signature(shsets: DataFrame, id_col: str,
                       num_hashes: int = 6) -> DataFrame:
-    """shsets: (id, shset array) → (id, mh0..mhk-1) in ONE projection
-    (array_min over transform — no groupBy shuffle; the old
-    explode→groupBy formulation shuffled every shingle of the corpus).
-    Hash family: md5 of a per-function salt + shingle."""
-    cols = [
-        F.array_min(F.expr(
-            "transform(shset, s -> "
-            + MD5INT.format(x=f"concat('s{i}:', s)") + ")"))
-        .alias(f"mh{i}") for i in range(num_hashes)]
+    """shsets: (id, shset array<bigint>) → (id, mh0..mhk-1) in ONE
+    projection (array_min over transform — no groupBy shuffle).
+    Hash family: universal (a_i*h + b_i) mod 2^31-1 over the int64
+    shingle fingerprints from :func:`hash_shingles`."""
+    cols = []
+    for i in range(num_hashes):
+        a, b = minhash_ab(i)
+        cols.append(F.array_min(F.expr(
+            f"transform(shset, h -> "
+            f"({a} * (h % {MINHASH_P}) + {b}) % {MINHASH_P})"))
+            .alias(f"mh{i}"))
     return shsets.select(id_col, *cols)
 
 
@@ -175,10 +203,11 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     """Full near-dup pipeline over n-token shingles: (d1, d2, jaccard).
 
     Shuffle budget: banding shuffles (id, band, bkey) rows only; the
-    verify joins move one shingle array per candidate side.  The
-    shingle sets themselves are computed projection-only and never
-    explode into rows (docs with zero shingles are excluded, matching
-    the relational oracle's inner joins)."""
+    verify joins move one shingle-FINGERPRINT array (8-byte ints, not
+    shingle text) per candidate side.  The shingle sets themselves
+    are computed projection-only and never explode into rows (docs
+    with zero shingles are excluded, matching the relational oracle's
+    inner joins)."""
     if shingle > 1:
         docsets = shingle_sets(df, id_col, text_col, n=shingle)
     else:
@@ -186,7 +215,8 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
                    .groupBy(id_col)
                    .agg(F.array_distinct(F.collect_list("token"))
                         .alias("shset")))
-    docsets = docsets.filter(F.size("shset") > 0).persist()
+    docsets = hash_shingles(docsets, id_col) \
+        .filter(F.size("shset") > 0).persist()
     sigs = minhash_signature(docsets, id_col, num_hashes)
     cand = lsh_candidates(sigs, id_col, num_hashes, band_size, max_bucket)
     verified = jaccard_verify(cand, docsets, id_col, threshold)

@@ -667,6 +667,49 @@ def dedup_near_keep_best(spark, sf_dir):
                     F.col("b").alias("kept_id")))
 
 
+@register("dedup_near_components", f"""
+    with recursive pairs as ({_minhash_pairs_duck()}),
+    e as (select d1 as a, d2 as b from pairs
+          union all select d2, d1 from pairs),
+    reach as (
+        select a as node, b as r from e
+        union
+        select e2.a, reach.r from e e2
+        join reach on reach.node = e2.b)
+    select node as doc_id,
+           least(node, min(r))::BIGINT as cluster_id
+    from reach group by node
+""")
+def dedup_near_components(spark, sf_dir):
+    """FULL near-dup clusters: connected components (K7's operator)
+    over the verified minhash pair graph — cluster_id = min doc_id of
+    the component, one row per clustered document.  The keep-best
+    query is the one-hop greedy resolution; this is the transitive
+    closure a dedup pass needs when duplicate chains exceed one hop
+    (A~B, B~C, cos(A,C) below threshold → one cluster here, two
+    keepers there).  The oracle computes the identical closure with a
+    recursive CTE.  Spark side: the same large-star/small-star CC the
+    entity-linking path uses — O(log n) rounds at any diameter; doc
+    ids ride zero-padded so the CC's lexicographic min equals the
+    numeric min."""
+    from .spark.canonical import connected_components
+    from .spark.dedup import minhash_near_duplicates
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, "doc_id", "text", num_hashes=6,
+                                    band_size=2, threshold=0.9)
+    pad = 12
+    edges = pairs.select(
+        F.lpad(F.col("d1").cast("string"), pad, "0").alias("src"),
+        F.lpad(F.col("d2").cast("string"), pad, "0").alias("dst"))
+    verts = (edges.select(F.col("src").alias("form"))
+             .union(edges.select(F.col("dst").alias("form")))
+             .distinct())
+    cc = connected_components(verts, edges)
+    return cc.select(F.col("form").cast("bigint").alias("doc_id"),
+                     F.col("canonical").cast("bigint")
+                     .alias("cluster_id"))
+
+
 @register("sample_stratified", f"""
     select lang,
            count(*) as n_total,

@@ -204,6 +204,46 @@ def streaming_tumbling_minute(spark, sf_dir):
         "event_type", "n_events")
 
 
+@register("streaming_kg_triple_counts",
+          "select doc_id, count(*)::BIGINT as n_triples "
+          "from (%s) group by doc_id")
+def streaming_kg_triple_counts(spark, sf_dir):
+    """The FLAGSHIP KG path under Structured Streaming: readStream
+    over the documents parquet (availableNow replay), the same fused
+    tag+extract mapInPandas the batch path uses (stateless, so it
+    lifts to streaming unchanged), triple explode, per-doc stateful
+    count in complete mode.  On a finite replay the result must equal
+    the batch pipeline exactly — the oracle aggregates the golden
+    kg_triples parquet.  This is the shape of continuous KG ingestion
+    in production (foreachBatch into the lineage-tracked writer);
+    the memory sink is the test-scoped harness."""
+    import uuid
+
+    from .spark.tagger import tag_and_extract
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    stream = stream.filter(F.col("doc_id") % 3 == 0)  # _docs_subset
+    tagged = tag_and_extract(stream, "text", mode="rank")
+    agg = (tagged.select("doc_id", F.explode("triples").alias("t"))
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_triples")))
+    sink = f"stream_kg_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.trigger(availableNow=True)
+         .format("memory").queryName(sink)
+         .outputMode("complete").start())
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+# late-bind the golden path: GOLDEN_TAG is fixed at import, same as
+# every other _golden_sql registration
+ORACLE_SQL["streaming_kg_triple_counts"] %= _golden_sql("kg_triples")
+
+
 @register("lineitem_part_supplier", """
     select p.p_brand as brand, s.s_nationkey as nationkey,
            count(*) as n_items,

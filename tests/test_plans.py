@@ -81,3 +81,36 @@ def test_no_cartesian_products_in_oracle_suite(spark):
             continue
         plan = plan_of(fn(spark, SF))
         assert "CartesianProduct" not in plan, name
+
+
+def test_exact_pairs_single_shuffle_no_join(spark):
+    """Keeper-form exact pairs must stay one window over the content
+    hash: exactly one keyed Exchange, no self-join anywhere."""
+    plan = plan_of(SPARK_QUERIES["dedup_exact_pairs"](spark, SF))
+    assert "Join" not in plan
+    assert plan.lower().count("exchange hashpartitioning") == 1
+
+
+def test_embedding_multiband_no_cartesian_and_capped(spark):
+    """Multi-band embedding LSH: candidates come from an equi-join on
+    (band, code) — never a cartesian product — and the degenerate-
+    bucket cap's window sits before the join."""
+    plan = plan_of(SPARK_QUERIES["dedup_embedding_cosine"](spark, SF))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Window" in plan  # the max_bucket count filter
+
+
+def test_kmeans_ivf_assignment_is_shuffle_free(spark):
+    """The k-means codebook path keeps IVF assignment a pure
+    projection: codebook as literal, argmax inside the project — no
+    Exchange, no Join before the candidate equi-join."""
+    from lacspark.spark.similarity import (_nearest_lists, _with_norm,
+                                           kmeans_codebook)
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cb = kmeans_codebook(e, "vec_id", "embedding", 64,
+                         n_lists=16, iters=2, memo_key=SF)
+    assign = _nearest_lists(_with_norm(e, "vec_id", "embedding", "n"),
+                            cb, "n", nprobe=1)
+    plan = plan_of(assign)
+    assert "Exchange" not in plan
+    assert "Join" not in plan

@@ -227,6 +227,12 @@ def streaming_kg_triple_counts(spark, sf_dir):
               .option("pathGlobFilter", "documents.parquet")
               .parquet(sf_dir))
     stream = stream.filter(F.col("doc_id") % 3 == 0)  # _docs_subset
+    # ensure_parallelism skips streaming DFs (micro-batch sizing is
+    # the trigger's job) — but this replay is ONE file, so widen the
+    # micro-batch explicitly or the CPU-bound UDF runs on the file
+    # source's few partitions
+    stream = stream.repartition(
+        2 * spark.sparkContext.defaultParallelism)
     tagged = tag_and_extract(stream, "text", mode="rank")
     agg = (tagged.select("doc_id", F.explode("triples").alias("t"))
            .groupBy("doc_id")
@@ -738,9 +744,13 @@ def dedup_near_components(spark, sf_dir):
     pairs = minhash_near_duplicates(docs, "doc_id", "text", num_hashes=6,
                                     band_size=2, threshold=0.9)
     pad = 12
+    # persist the verified pair graph: the CC size probes and the
+    # vertex-union branches would otherwise re-execute the whole
+    # minhash/LSH DAG once per consumer (measured 3x at sf0.1)
     edges = pairs.select(
         F.lpad(F.col("d1").cast("string"), pad, "0").alias("src"),
-        F.lpad(F.col("d2").cast("string"), pad, "0").alias("dst"))
+        F.lpad(F.col("d2").cast("string"), pad, "0").alias("dst")) \
+        .persist()
     verts = (edges.select(F.col("src").alias("form"))
              .union(edges.select(F.col("dst").alias("form")))
              .distinct())

@@ -190,3 +190,37 @@ def test_multiband_catches_first_band_sign_flip(spark):
         nbits=8, nbands=2, max_bucket=None)
     assert one_band.count() == 0
     assert [(r.d1, r.d2) for r in two_band.collect()] == [(0, 1)]
+
+
+def test_rolling_fingerprint_agrees_on_bmp_unicode(spark, tmp_path):
+    """Spark's ascii() returns the first UTF-16 code unit and
+    DuckDB's the Unicode code point — identical for every
+    Basic-Multilingual-Plane character (all CJK included), which the
+    rolling-hash arithmetic relies on.  Pin the agreement on mixed
+    CJK/ASCII text.  (Supplementary-plane characters WOULD diverge;
+    corpora with emoji need a codepoint-safe variant.)"""
+    rows = [
+        (1, "zh", "百度是一家高科技公司总部在北京"),
+        (2, "mix", "alpha 百度 beta 公司 gamma delta!"),
+        (3, "en", "plain ascii text with enough characters"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    s, d = _run_both(spark, sf, "doc_rolling_fingerprint")
+    assert s == d
+    assert len(s) == 3
+
+
+def test_rolling_fingerprint_winnow_invariance(spark, tmp_path):
+    """Winnowing property: a document sharing a long run of text with
+    another shares winnowed minima — the digest of disjoint texts
+    differs, identical texts match."""
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, "en", shared), (2, "en", shared),
+            (3, "en", "completely different content with other words")]
+    sf = _write_docs(spark, tmp_path, rows)
+    from lacspark.queries import SPARK_QUERIES
+    out = {r.doc_id: (r.n_grams, r.n_winnow, r.winnow_digest)
+           for r in SPARK_QUERIES["doc_rolling_fingerprint"](
+               spark, sf).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]

@@ -901,6 +901,44 @@ def quality_score(spark, sf_dir):
                & (punct_pct < 10), 1).otherwise(0).alias("is_quality"))
 
 
+@register("corpus_curation", f"""
+    select doc_id, lang, punct_pct from (
+        select doc_id, lang,
+               (length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                   * 100) // greatest(length(text), 1) as punct_pct,
+               min(doc_id) over (partition by md5(text)) as keeper,
+               length(text) as ln,
+               ({_MD5INT_DUCK.format(
+                   x="'cur:' || doc_id::VARCHAR")}) % 100 as smp
+        from documents)
+    where doc_id = keeper and ln between 50 and 5000
+          and punct_pct < 10 and smp < 50
+""")
+def corpus_curation(spark, sf_dir):
+    """The end-to-end curation pass a pretraining pipeline runs
+    before tokenization, as ONE composed query: exact-dup keeper
+    selection (window over the content hash), quality gate (length
+    band + punctuation ratio), deterministic 50% per-doc hash sample
+    — one scan, one keyed shuffle (the keeper window), pure
+    projections otherwise.  Every stage is the same mechanism as its
+    standalone query (dedup_exact_pairs / quality_score /
+    sample_stratified), proving the operators compose without extra
+    shuffles."""
+    d = load(spark, sf_dir, "documents")
+    keeper = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+    punct_pct = F.floor(punct * 100
+                        / F.greatest(F.length("text"), F.lit(1)))
+    smp = F.expr(_MD5INT_SPARK.format(
+        x="concat('cur:', cast(doc_id as string))")) % 100
+    return (d.withColumn("keeper", keeper)
+            .withColumn("punct_pct", punct_pct.cast("long"))
+            .filter((F.col("doc_id") == F.col("keeper"))
+                    & F.length("text").between(50, 5000)
+                    & (F.col("punct_pct") < 10) & (smp < 50))
+            .select("doc_id", "lang", "punct_pct"))
+
+
 @register("token_class_counts", """
     select doc_id,
            length(regexp_extract_all(text, '[A-Za-z]+')) as n_alpha,

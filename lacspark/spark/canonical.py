@@ -192,10 +192,38 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
 
 def canonical_map(mentions: DataFrame, word_col: str = "word",
                   num_hashes: int = 8, band_size: int = 2,
-                  jaccard_threshold: float = 0.5) -> DataFrame:
+                  jaccard_threshold: float = 0.5,
+                  driver_threshold: int = 100_000) -> DataFrame:
     """form → canonical (entity surface).  Forms shorter than 2 chars
-    and forms with no similar neighbor map to themselves."""
+    and forms with no similar neighbor map to themselves.
+
+    Scale split (same pattern as connected_components): the DISTINCT
+    form set is usually orders of magnitude smaller than the mention
+    stream — when it fits ``driver_threshold`` the whole
+    minhash/band/verify/union-find chain runs on the driver via the
+    pure-python twin (lacspark.canonical_py, the module that also
+    generates the golden oracles — the two paths are pinned equal by
+    the golden-gated kg_* queries and a dedicated test).  That is ONE
+    Spark job (the distinct + probe collect) instead of six
+    (window, self-join, dedup, CC probes, checkpoint), whose fixed
+    per-job overhead dominates at small cardinalities.  Above the
+    threshold: the distributed banded path, unchanged."""
     forms = surface_forms(mentions, word_col).persist()
+    # probe-by-collect: the limit(N+1) IS both the size probe and,
+    # when small, the data fetch (the persist keeps the big path from
+    # recomputing the distinct)
+    probe = forms.select("form").limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        from lacspark.canonical_py import canonical_map_py
+
+        spark = mentions.sparkSession
+        cmap = canonical_map_py(
+            [r.form for r in probe], num_hashes=num_hashes,
+            band_size=band_size, jaccard_threshold=jaccard_threshold)
+        rows = [(f, c, eid) for f, (c, eid) in sorted(cmap.items())]
+        forms.unpersist()
+        return spark.createDataFrame(
+            rows, "form string, canonical string, entity_id long")
     banded = minhash_bands(forms, num_hashes, band_size)
     # CC probes the edge count and then reads edges again (driver
     # union-find or per-iteration joins) — materialize once

@@ -193,3 +193,20 @@ def test_build_edges_salience_weighting(spark):
     assert ab.salience == 6 and ab.n_provenance == 2
     gd = rows[("gamma", "delta")]
     assert gd.weight == 0.75 * 2 and gd.salience == 1
+
+
+def test_canonical_fast_path_matches_distributed(spark, docs):
+    """canonical_map's driver fast path (python twin over the
+    collected form set) must equal the distributed banded path
+    row-for-row on the same mentions."""
+    from lacspark.spark.canonical import canonical_map
+    from lacspark.spark.tagger import explode_mentions, tag_and_extract
+
+    tagged = tag_and_extract(docs, "text", mode="rank")
+    mentions = explode_mentions(tagged, ["doc_id"]).cache()
+    fast = canonical_map(mentions)                       # driver path
+    slow = canonical_map(mentions, driver_threshold=0)   # banded path
+    f = sorted(tuple(r) for r in fast.collect())
+    s = sorted(tuple(r) for r in slow.collect())
+    assert f == s
+    assert len(f) > 0

@@ -224,3 +224,39 @@ def test_rolling_fingerprint_winnow_invariance(spark, tmp_path):
                spark, sf).collect()}
     assert out[1] == out[2]
     assert out[1] != out[3]
+
+
+def test_exact_pairs_consistent_with_groups(spark):
+    """Cross-query invariant on real data: the keeper-form pair list
+    and the group list describe the same partition — every group of
+    size k contributes exactly k-1 member rows whose keeper is the
+    group's min id."""
+    from lacspark.queries import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    pairs = SPARK_QUERIES["dedup_exact_pairs"](spark, sf).collect()
+    groups = SPARK_QUERIES["dedup_exact_groups"](spark, sf).collect()
+    want = {}
+    for g in groups:
+        ids = sorted(g.ids)
+        for m in ids[1:]:
+            want[m] = ids[0]
+    got = {r.d2: r.d1 for r in pairs}
+    assert got == want
+
+
+def test_near_components_cover_keep_best_drops(spark):
+    """Every document the one-hop keep-best pass drops has at least
+    one verified neighbor, so it must belong to a near-dup cluster;
+    its keeper shares that cluster (keep-best links are one hop of
+    the component)."""
+    from lacspark.queries import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    comp = {r.doc_id: r.cluster_id for r in
+            SPARK_QUERIES["dedup_near_components"](spark, sf).collect()}
+    kb = SPARK_QUERIES["dedup_near_keep_best"](spark, sf).collect()
+    assert len(kb) > 0
+    for r in kb:
+        assert r.dropped_id in comp
+        assert comp[r.dropped_id] == comp[r.kept_id]

@@ -67,11 +67,43 @@ _PRIORITY = [
     "kg_entity_linking", "kg_vertices",
 ]
 
+# Queries rewritten or newly added THIS round go right after the
+# flagships so the round that changed them is the round that gates
+# them (round 3's gate missed the rewritten ann_ivf_* because they
+# sat in the dropped tail).  Update each round.
+_FRESH = [
+    "ann_lsh_topk", "ann_ivf_lists", "ann_ivf_topk",
+    "multimodal_decode_stats", "multimodal_features",
+    "token_minhash_canonical",
+    "dedup_substring_spans", "quality_repetition", "token_count_bpe",
+    "pack_sequences_bpe",
+]
+
+
+def _round_no() -> int:
+    """Current round = 1 + max N over CORRECTNESS_r{N}.json artifacts."""
+    import glob
+    import re
+
+    rounds = [int(m.group(1))
+              for f in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))
+              if (m := re.search(r"CORRECTNESS_r0*(\d+)\.json$", f))]
+    return max(rounds, default=0) + 1
+
 
 def _ordered(d: dict) -> dict:
-    out = {k: d[k] for k in _PRIORITY if k in d}
-    out.update((k, v) for k, v in d.items() if k not in out)
-    return out
+    """Flagships, then this round's fresh queries, then the remainder
+    rotated deterministically by round number.  The driver gate records
+    only a prefix (50 entries in rounds 2-3); rotating the tail by 11
+    per round shifts any dropped band (width <= 10 at the current
+    registry size) fully into the next round's window, so every query
+    gets a hard-signal CORRECTNESS row at least every other round."""
+    front = [k for k in _PRIORITY + _FRESH if k in d]
+    tail = [k for k in d if k not in front]
+    if tail:
+        off = (11 * _round_no()) % len(tail)
+        tail = tail[off:] + tail[:off]
+    return {k: d[k] for k in front + tail}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

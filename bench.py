@@ -120,7 +120,34 @@ def main() -> None:
         "sf": sf,
         "extra": extra,
     }
-    print(json.dumps(out))
+    # Full detail goes to BENCH_local.json; stdout gets a COMPACT final
+    # line (< 1.5 kB).  The driver captures only the last ~2,000 chars
+    # of stdout — round 3's full 56-query line overflowed that window
+    # and the round's bench signal was lost (`parsed: null`).
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json")
+    with open(local_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": {"kg_pipeline": timings["kg_pipeline"], **slowest},
+        "sf": sf,
+        "extra": {
+            "cpus": CPUS,
+            "n_queries": len(timings),
+            "triples_per_sec": extra["triples_per_sec"],
+            "chars_per_sec": extra["chars_per_sec"],
+            "n_triples": extra["n_triples"],
+            "kg_pipeline_cold_sec": extra["kg_pipeline_cold_sec"],
+            "methodology": "warm pass; full detail in BENCH_local.json",
+        },
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1900, f"compact bench line too long: {len(line)}"
+    print(line)
     spark.stop()
 
 

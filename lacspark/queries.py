@@ -755,6 +755,10 @@ def dedup_near_components(spark, sf_dir):
              .union(edges.select(F.col("dst").alias("form")))
              .distinct())
     cc = connected_components(verts, edges)
+    # cut lineage, then release the cached pair graph (bench runs each
+    # query twice — without this every invocation leaked cached blocks)
+    cc = cc.localCheckpoint()
+    edges.unpersist()
     return cc.select(F.col("form").cast("bigint").alias("doc_id"),
                      F.col("canonical").cast("bigint")
                      .alias("cluster_id"))
@@ -1287,11 +1291,16 @@ def dedup_exact_groups_q(spark, sf_dir):
 
 
 def _emb_band_ctes(nbits: int = 8, nbands: int = 2,
-                   threshold: float = 0.30) -> str:
+                   threshold: float = 0.30,
+                   max_bucket: int = 20_000) -> str:
     """Shared DuckDB CTEs for the multi-band embedding sign-LSH
     family, mirroring dedup.embedding_near_duplicates: one b-bit
     sign code per disjoint dim slice, candidates = distinct pairs
-    sharing ANY band's code, exact cosine verify on the pair."""
+    sharing ANY band's code, exact cosine verify on the pair.  The
+    Spark side's ``max_bucket`` degenerate-bucket cap is mirrored
+    here so the two engines agree at ANY scale factor (an uncapped
+    oracle would silently diverge the first time a (band, code)
+    bucket exceeds the cap)."""
     def code(b):
         return " + ".join(
             f"(case when embedding[{b * nbits + j + 1}] > 0 "
@@ -1308,8 +1317,11 @@ def _emb_band_ctes(nbits: int = 8, nbands: int = 2,
     with v as (select vec_id, embedding::DOUBLE[] e, {codes}
                from embeddings),
     bands as ({band_union}),
+    bcap as (select vec_id, band, code from (
+        select *, count(*) over (partition by band, code) as bn
+        from bands) where bn <= {max_bucket}),
     cand as (select distinct a.vec_id as d1, b.vec_id as d2
-             from bands a join bands b
+             from bcap a join bcap b
                on a.band = b.band and a.code = b.code
                   and a.vec_id < b.vec_id),
     pairs as (
@@ -1365,11 +1377,16 @@ def _ann_lsh_oracle() -> str:
         for j in range(8))
     masks = ", ".join(str(m) for m in probe_masks(8, 2))
     return f"""
-    with v as (select vec_id, embedding::DOUBLE[] e,
-                      ({bucket})::BIGINT as bucket
-               from embeddings),
+    with v0 as (select vec_id, embedding::DOUBLE[] e,
+                       ({bucket})::BIGINT as bucket
+                from embeddings),
+    -- the Spark side's corpus-bucket cap (lsh_bucketed_topk
+    -- max_bucket=100000), mirrored so both engines agree at any SF
+    v as (select vec_id, e, bucket from (
+        select *, count(*) over (partition by bucket) as bn from v0)
+        where bn <= 100000),
     q as (select vec_id, e, xor(bucket, mask) as bucket
-          from v, unnest([{masks}]) as t(mask) where vec_id < 50)
+          from v0, unnest([{masks}]) as t(mask) where vec_id < 50)
     select query_id, neighbor_id, rnk from (
         select q.vec_id as query_id, n.vec_id as neighbor_id,
                row_number() over (

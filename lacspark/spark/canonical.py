@@ -193,7 +193,8 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
 def canonical_map(mentions: DataFrame, word_col: str = "word",
                   num_hashes: int = 8, band_size: int = 2,
                   jaccard_threshold: float = 0.5,
-                  driver_threshold: int = 100_000) -> DataFrame:
+                  driver_threshold: int = 100_000,
+                  driver_char_budget: int = 4_000_000) -> DataFrame:
     """form → canonical (entity surface).  Forms shorter than 2 chars
     and forms with no similar neighbor map to themselves.
 
@@ -213,7 +214,13 @@ def canonical_map(mentions: DataFrame, word_col: str = "word",
     # when small, the data fetch (the persist keeps the big path from
     # recomputing the distinct)
     probe = forms.select("form").limit(driver_threshold + 1).collect()
-    if len(probe) <= driver_threshold:
+    # the fast path's cost is total CHARS (char-3-grams x num_hashes),
+    # not form count — a pathological corpus of few but very long
+    # forms must not stall the driver single-threaded; beyond the char
+    # budget the distributed path takes over (wall-time bound, not
+    # just cardinality bound)
+    if len(probe) <= driver_threshold and \
+            sum(len(r.form) for r in probe) <= driver_char_budget:
         from lacspark.canonical_py import canonical_map_py
 
         spark = mentions.sparkSession

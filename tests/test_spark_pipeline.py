@@ -210,3 +210,19 @@ def test_canonical_fast_path_matches_distributed(spark, docs):
     s = sorted(tuple(r) for r in slow.collect())
     assert f == s
     assert len(f) > 0
+
+
+def test_canonical_char_budget_forces_distributed(spark):
+    """A pathological form set — few forms but very LONG ones — must
+    fall through to the distributed path: the driver fast path's cost
+    is total chars (3-grams x hashes), not form count, so the probe
+    bounds chars too.  Exercised by shrinking the budget below the
+    corpus; results must match the unconstrained run."""
+    from lacspark.spark.canonical import canonical_map
+
+    rows = [(f"entity {'x' * 500}{i % 7}",) for i in range(40)]
+    mentions = spark.createDataFrame(rows, "word string")
+    small = canonical_map(mentions, driver_char_budget=1_000)
+    big = canonical_map(mentions)
+    assert sorted(map(tuple, small.collect())) == \
+        sorted(map(tuple, big.collect()))

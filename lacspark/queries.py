@@ -764,6 +764,60 @@ def dedup_near_components(spark, sf_dir):
                      .alias("cluster_id"))
 
 
+def _substring_spans_duck(k: int = 8, min_span: int = 10,
+                          max_df: int = 50) -> str:
+    """DuckDB replay of dedup.substring_duplicate_spans: identical
+    fingerprints (md5-int of the k-token gram), identical max_df cap,
+    identical diagonal run-merge."""
+    leads = " || ' ' || ".join(
+        "token" if i == 0 else f"lead(token, {i}) over w"
+        for i in range(k))
+    return f"""
+    with toks as ({_DUCK_TOKENS}),
+    ftoks as (select doc_id,
+                     row_number() over (partition by doc_id
+                                        order by pos) - 1 as pos,
+                     token
+              from toks),
+    fps as (
+        select doc_id, pos, {_MD5INT_DUCK.format(x='g')} as fp from (
+            select doc_id, pos, {leads} as g,
+                   lead(token, {k - 1}) over w as t_last
+            from ftoks window w as (partition by doc_id order by pos))
+        where t_last is not null),
+    capped as (select doc_id, pos, fp from (
+        select *, count(*) over (partition by fp) as df from fps)
+        where df <= {max_df}),
+    hits as (
+        select a.doc_id as d1, a.pos as p1, b.doc_id as d2, b.pos as p2
+        from capped a join capped b
+          on a.fp = b.fp and a.doc_id < b.doc_id),
+    runs as (
+        select d1, d2, p1 - p2 as diag, p1, p2,
+               p1 - row_number() over (partition by d1, d2, p1 - p2
+                                       order by p1) as grp
+        from hits)
+    select d1, d2, min(p1) as start1, min(p2) as start2,
+           (max(p1) - min(p1) + {k})::BIGINT as span_len
+    from runs group by d1, d2, diag, grp
+    having max(p1) - min(p1) + {k} >= {min_span}
+"""
+
+
+@register("dedup_substring_spans", _substring_spans_duck())
+def dedup_substring_spans(spark, sf_dir):
+    """Cross-document duplicated-span removal (Lee et al. 2022):
+    maximal shared token runs >= 10 tokens between document pairs —
+    the substring-level dedup a pretraining pipeline runs after
+    doc-level passes (two distinct pages sharing one boilerplate
+    paragraph).  See dedup.substring_duplicate_spans for the
+    distributed plan shape."""
+    from .spark.dedup import substring_duplicate_spans
+    return substring_duplicate_spans(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        k=8, min_span=10, max_df=50)
+
+
 @register("sample_stratified", f"""
     select lang,
            count(*) as n_total,

@@ -225,6 +225,69 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
         F.round("jaccard_raw", 4).cast("double").alias("jaccard"))
 
 
+def substring_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                              k: int = 8, min_span: int = 10,
+                              max_df: int = 50) -> DataFrame:
+    """Cross-document duplicated-SPAN detection (the Lee et al. 2022
+    "Deduplicating Training Data" operator): maximal runs of shared
+    k-token grams between document pairs, reported as
+    (d1, d2, start1, start2, span_len) for spans of at least
+    ``min_span`` tokens.  Doc-level dedup misses these — two mostly
+    distinct pages sharing one long boilerplate paragraph is a span
+    problem, not a document problem.
+
+    Plan shape (vs the paper's suffix array, which doesn't
+    distribute): (1) per-doc k-gram fingerprints WITH token
+    positions, built in one array projection and exploded once —
+    one row per token position, the operator's inherent cost;
+    (2) ``max_df`` drops fingerprints occurring more than that many
+    times corpus-wide — the degenerate-gram guard that keeps a
+    ubiquitous boilerplate 8-gram from going quadratic in the join
+    (same posture as every LSH ``max_bucket`` here); (3) equi-join
+    on the fingerprint across documents (d1 < d2) → hit list, which
+    is tiny relative to the position list; (4) merge hits on the
+    same pair diagonal (p1 - p2) with consecutive positions into
+    maximal spans via ONE window + ONE aggregate (the islands-and-
+    gaps trick: p1 - row_number is constant within a run).  Total:
+    one shuffle for the fingerprint join, one for the window — no
+    all-pairs stage anywhere."""
+    from pyspark.sql.window import Window
+
+    from .tagger import ensure_parallelism
+
+    toks = F.filter(F.split(F.col(text_col), " "),
+                    lambda x: F.length(x) > 0)
+    h = MD5INT.format(x=f"concat_ws(' ', slice(__toks, i, {k}))")
+    fps = F.expr(
+        f"transform(sequence(1, size(__toks) - {k - 1}), i -> {h})")
+    base = (ensure_parallelism(df)
+            .select(id_col, toks.alias("__toks"))
+            .filter(F.size("__toks") >= k)
+            .select(id_col, fps.alias("__fps")))
+    pos_fp = explode_once(base, [id_col], "__fps", "fp", with_pos="pos")
+    capped = (pos_fp.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("__df") <= max_df).drop("__df"))
+    a = capped.select(F.col(id_col).alias("d1"),
+                      F.col("pos").alias("p1"), "fp")
+    b = capped.select(F.col(id_col).alias("d2"),
+                      F.col("pos").alias("p2"), "fp")
+    hits = (a.join(b, "fp")
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "p1", "d2", "p2",
+                    (F.col("p1") - F.col("p2")).alias("diag")))
+    w = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
+    runs = hits.withColumn(
+        "grp", F.col("p1") - F.row_number().over(w))
+    return (runs.groupBy("d1", "d2", "diag", "grp")
+            .agg(F.min("p1").alias("start1"),
+                 F.min("p2").alias("start2"),
+                 (F.max("p1") - F.min("p1") + k).cast("long")
+                 .alias("span_len"))
+            .filter(F.col("span_len") >= min_span)
+            .select("d1", "d2", "start1", "start2", "span_len"))
+
+
 def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
                               threshold: float = 0.95,
                               nbits: int = 8, nbands: int = 2,

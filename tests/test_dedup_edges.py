@@ -260,3 +260,59 @@ def test_near_components_cover_keep_best_drops(spark):
     for r in kb:
         assert r.dropped_id in comp
         assert comp[r.dropped_id] == comp[r.kept_id]
+
+
+def test_substring_spans_finds_planted_span(spark, tmp_path):
+    """Plant a known 20-token paragraph inside two otherwise-distinct
+    documents: the span detector must report exactly that maximal
+    span, at the right positions, and nothing between the unrelated
+    pair."""
+    shared = " ".join(f"boiler{i}" for i in range(20))
+    d0 = "intro zero alpha " + shared + " tail zero omega"
+    d1 = ("completely different opening words here now " + shared
+          + " closing text")
+    d2 = " ".join(f"unrelated{i}" for i in range(30))
+    sf = _write_docs(spark, tmp_path, [
+        (0, "en", d0), (1, "en", d1), (2, "en", d2)])
+    from lacspark.queries import SPARK_QUERIES
+    rows = {(r.d1, r.d2): r for r in
+            SPARK_QUERIES["dedup_substring_spans"](spark, sf).collect()}
+    assert set(rows) == {(0, 1)}
+    span = rows[(0, 1)]
+    # d0: 3 lead tokens before the paragraph; d1: 6
+    assert (span.start1, span.start2, span.span_len) == (3, 6, 20)
+
+
+def test_substring_spans_max_df_drops_boilerplate_gram(spark, tmp_path):
+    """A gram occurring corpus-wide beyond max_df must be excluded
+    from candidate generation (the quadratic-join guard), and the
+    oracle must agree because it mirrors the cap."""
+    boiler = " ".join(f"b{i}" for i in range(12))
+    rows = [(i, "en", f"doc{i} unique{i} " + boiler) for i in range(8)]
+    sf = _write_docs(spark, tmp_path, rows)
+    from lacspark.spark.dedup import substring_duplicate_spans
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    # df cap below the 8 copies -> no spans at all
+    none = substring_duplicate_spans(docs, "doc_id", "text",
+                                     k=8, min_span=10, max_df=5)
+    assert none.count() == 0
+    # cap above -> all 28 pairs share the 12-token boilerplate span
+    allp = substring_duplicate_spans(docs, "doc_id", "text",
+                                     k=8, min_span=10, max_df=100)
+    got = {(r.d1, r.d2, r.span_len) for r in allp.collect()}
+    assert got == {(i, j, 12) for i in range(8) for j in range(i + 1, 8)}
+
+
+def test_substring_spans_oracle_agreement_adversarial(spark, tmp_path):
+    """Spark and DuckDB agree on a corpus with double spaces,
+    within-doc repeats (same gram twice in one doc -> two diagonals),
+    and overlapping spans."""
+    rep = " ".join(f"r{i}" for i in range(10))
+    rows = [
+        (0, "en", rep + "  mid gap  " + rep),
+        (1, "en", "x0 x1 " + rep + " x2 x3 x4 " + rep),
+        (2, "en", "lead  " + rep),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    s, d = _run_both(spark, sf, "dedup_substring_spans")
+    assert s == d and len(s) > 0

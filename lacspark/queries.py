@@ -959,8 +959,83 @@ def quality_score(spark, sf_dir):
                & (punct_pct < 10), 1).otherwise(0).alias("is_quality"))
 
 
+def _repetition_duck_ctes() -> str:
+    """Relational DuckDB replica of quality.repetition_stats: the
+    Spark side folds over the sorted per-doc gram ARRAY (zero
+    shuffle); the oracle computes the same quantities the relational
+    way (explode + group + top-1 window with the same
+    count-desc/gram-asc tie-break).  Emits CTE `rep` with unrounded
+    fractions for docs with >= 2 tokens."""
+    return """
+    rtok as (select doc_id,
+                    list_filter(string_split(text, ' '),
+                                x -> length(x) > 0) as toks,
+                    list_filter(string_split(text, chr(10)),
+                                x -> length(x) > 0) as lns
+             from documents),
+    rbase as (select doc_id, toks, lns from rtok where len(toks) >= 2),
+    rg as (select doc_id, toks[i] || ' ' || toks[i + 1] as g2
+           from (select doc_id, toks,
+                        unnest(generate_series(1, len(toks) - 1)) as i
+                 from rbase)),
+    rc as (select doc_id, g2, count(*) as c,
+                  count(*) * length(g2) as ch
+           from rg group by doc_id, g2),
+    ragg as (select doc_id, sum(ch) as totch,
+                    coalesce(sum(ch) filter (c > 1), 0) as dupch
+             from rc group by doc_id),
+    rtop as (select doc_id, c * length(g2) as topch from (
+        select *, row_number() over (partition by doc_id
+                                     order by c desc, g2) as rn
+        from rc) where rn = 1),
+    rcnt as (select doc_id, len(toks) as nt,
+                    len(list_distinct(toks)) as ndt,
+                    len(lns) as nl, len(list_distinct(lns)) as ndl
+             from rbase),
+    rep as (select doc_id,
+                   topch * 1.0 / totch as top2,
+                   dupch * 1.0 / totch as dup2,
+                   (nt - ndt) * 1.0 / nt as dtok,
+                   (nl - ndl) * 1.0 / nl as dline
+            from ragg join rtop using (doc_id)
+                      join rcnt using (doc_id))
+"""
+
+
+def _rep_keep_duck() -> str:
+    from .spark.quality import REPETITION_LIMITS as L
+    return (f"top2 <= {L['top_2gram_frac']} and "
+            f"dup2 <= {L['dup_2gram_frac']} and "
+            f"dtok <= {L['dup_token_frac']} and "
+            f"dline <= {L['dup_line_frac']}")
+
+
+@register("quality_repetition", f"""
+    with {_repetition_duck_ctes()}
+    select doc_id,
+           cast(round(top2, 6) as double) as top_2gram_frac,
+           cast(round(dup2, 6) as double) as dup_2gram_frac,
+           cast(round(dtok, 6) as double) as dup_token_frac,
+           cast(round(dline, 6) as double) as dup_line_frac,
+           (case when {_rep_keep_duck()}
+            then 1 else 0 end)::BIGINT as keep
+    from rep
+""")
+def quality_repetition(spark, sf_dir):
+    """Gopher-style repetition quality filters (Rae et al. 2021):
+    most-common-2-gram char fraction, duplicated-2-gram char
+    fraction, duplicated-token fraction, duplicated-line fraction,
+    and the composed keep decision.  Spark side is a zero-shuffle
+    sorted-array fold (quality.repetition_stats); the oracle computes
+    the identical quantities relationally."""
+    from .spark.quality import repetition_stats
+    return repetition_stats(load(spark, sf_dir, "documents"),
+                            "doc_id", "text")
+
+
 @register("corpus_curation", f"""
-    select doc_id, lang, punct_pct from (
+    with {_repetition_duck_ctes()},
+    cur as (
         select doc_id, lang,
                (length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
                    * 100) // greatest(length(text), 1) as punct_pct,
@@ -969,20 +1044,24 @@ def quality_score(spark, sf_dir):
                ({_MD5INT_DUCK.format(
                    x="'cur:' || doc_id::VARCHAR")}) % 100 as smp
         from documents)
+    select doc_id, lang, punct_pct
+    from cur join rep using (doc_id)
     where doc_id = keeper and ln between 50 and 5000
-          and punct_pct < 10 and smp < 50
+          and punct_pct < 10 and smp < 50 and {_rep_keep_duck()}
 """)
 def corpus_curation(spark, sf_dir):
     """The end-to-end curation pass a pretraining pipeline runs
     before tokenization, as ONE composed query: exact-dup keeper
     selection (window over the content hash), quality gate (length
-    band + punctuation ratio), deterministic 50% per-doc hash sample
-    — one scan, one keyed shuffle (the keeper window), pure
+    band + punctuation ratio), Gopher repetition gate (projection
+    fold — no join, no second scan), deterministic 50% per-doc hash
+    sample — one scan, one keyed shuffle (the keeper window), pure
     projections otherwise.  Every stage is the same mechanism as its
     standalone query (dedup_exact_pairs / quality_score /
-    sample_stratified), proving the operators compose without extra
-    shuffles."""
-    d = load(spark, sf_dir, "documents")
+    quality_repetition / sample_stratified), proving the operators
+    compose without extra shuffles."""
+    from .spark.quality import with_repetition_keep
+    d = with_repetition_keep(load(spark, sf_dir, "documents"))
     keeper = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
     punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
     punct_pct = F.floor(punct * 100
@@ -993,7 +1072,8 @@ def corpus_curation(spark, sf_dir):
             .withColumn("punct_pct", punct_pct.cast("long"))
             .filter((F.col("doc_id") == F.col("keeper"))
                     & F.length("text").between(50, 5000)
-                    & (F.col("punct_pct") < 10) & (smp < 50))
+                    & (F.col("punct_pct") < 10) & (smp < 50)
+                    & F.col("rep_keep"))
             .select("doc_id", "lang", "punct_pct"))
 
 

@@ -44,6 +44,117 @@ def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("upper_ratio", 1 - ratio("[A-Z]")))
 
 
+# Gopher-style repetition gate thresholds (Rae et al. 2021, table A1
+# family): most-common-2-gram char fraction, duplicated-2-gram char
+# fraction, duplicated-token fraction, duplicated-line fraction.
+REPETITION_LIMITS = {"top_2gram_frac": 0.18, "dup_2gram_frac": 0.25,
+                     "dup_token_frac": 0.65, "dup_line_frac": 0.30}
+
+# Fold over the SORTED 2-gram array: one pass closes each equal-run
+# and carries (top run, duplicated-gram chars, total gram chars) in a
+# struct accumulator.  Zero shuffle, zero UDF — the relational
+# formulation (explode + two groupBys) would shuffle one row per
+# gram; this never leaves the document row.  O(n log n) per doc from
+# the array_sort.  Ties for the top gram resolve to the
+# lexicographically smallest (strict > over the sorted array), which
+# the oracle mirrors with ORDER BY count DESC, gram ASC.
+_REP_FOLD = """
+aggregate(
+  __grams,
+  named_struct('prev', '', 'run', cast(0 as bigint),
+               'topc', cast(0 as bigint), 'topg', '',
+               'dupch', cast(0 as bigint), 'totch', cast(0 as bigint)),
+  (s, g) -> case when g = s.prev
+    then named_struct('prev', s.prev, 'run', s.run + 1, 'topc', s.topc,
+                      'topg', s.topg, 'dupch', s.dupch, 'totch', s.totch)
+    else named_struct('prev', g, 'run', cast(1 as bigint),
+      'topc', case when s.run > s.topc then s.run else s.topc end,
+      'topg', case when s.run > s.topc then s.prev else s.topg end,
+      'dupch', s.dupch + case when s.run >= 2
+                  then s.run * length(s.prev) else cast(0 as bigint) end,
+      'totch', s.totch + s.run * length(s.prev)) end,
+  s -> named_struct(
+      'topch', (case when s.run > s.topc then s.run else s.topc end)
+          * length(case when s.run > s.topc then s.prev else s.topg end),
+      'dupch', s.dupch + case when s.run >= 2
+                  then s.run * length(s.prev) else cast(0 as bigint) end,
+      'totch', s.totch + s.run * length(s.prev)))
+"""
+
+
+def _rep_projected(df: DataFrame, text_col: str = "text",
+                   keep_cols: list[str] | None = None) -> DataFrame:
+    """Append the repetition accumulators (__s, __nt, __ndt, __nl,
+    __ndl) as pure projections.  Short docs (< 2 tokens) are kept
+    with an empty gram array (sequence(1, 0) DESCENDS in Spark —
+    guarded) so callers can compose this inline without a filter."""
+    toks = F.filter(F.split(F.col(text_col), " "),
+                    lambda x: F.length(x) > 0)
+    lines = F.filter(F.split(F.col(text_col), "\n"),
+                     lambda x: F.length(x) > 0)
+    grams = ("case when size(__toks) >= 2 then "
+             "array_sort(transform(sequence(1, size(__toks) - 1), "
+             "i -> concat_ws(' ', slice(__toks, i, 2)))) "
+             "else array() end")
+    from .tagger import ensure_parallelism
+
+    cols = keep_cols if keep_cols is not None else df.columns
+    return (ensure_parallelism(df)
+            .select(*cols, toks.alias("__toks"), lines.alias("__lines"))
+            .select(*cols,
+                    F.expr(grams).alias("__grams"),
+                    F.size("__toks").alias("__nt"),
+                    F.size(F.array_distinct("__toks")).alias("__ndt"),
+                    F.size("__lines").alias("__nl"),
+                    F.size(F.array_distinct("__lines")).alias("__ndl"))
+            .select(*cols, F.expr(_REP_FOLD).alias("__s"),
+                    "__nt", "__ndt", "__nl", "__ndl"))
+
+
+def _rep_fracs() -> dict:
+    return {
+        "top_2gram_frac": F.col("__s.topch") / F.col("__s.totch"),
+        "dup_2gram_frac": F.col("__s.dupch") / F.col("__s.totch"),
+        "dup_token_frac": (F.col("__nt") - F.col("__ndt")) / F.col("__nt"),
+        "dup_line_frac": (F.col("__nl") - F.col("__ndl")) / F.col("__nl"),
+    }
+
+
+def _rep_keep_col():
+    keep = F.lit(True)
+    for name, expr in _rep_fracs().items():
+        keep = keep & (expr <= REPETITION_LIMITS[name])
+    # a doc with no 2-gram (or no line) yields null fracs → not kept
+    return F.coalesce(keep, F.lit(False))
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document repetition fractions + the Gopher keep decision.
+
+    (id, top_2gram_frac, dup_2gram_frac, dup_token_frac,
+    dup_line_frac, keep) for documents with at least one 2-gram.
+    Everything is a projection over per-row arrays — at 100 TB this
+    runs embarrassingly parallel with no shuffle at all."""
+    base = _rep_projected(df, text_col, keep_cols=[id_col]) \
+        .filter(F.col("__nt") >= 2)
+    return base.select(
+        id_col,
+        *[F.round(expr, 6).cast("double").alias(name)
+          for name, expr in _rep_fracs().items()],
+        _rep_keep_col().cast("long").alias("keep"))
+
+
+def with_repetition_keep(df: DataFrame, text_col: str = "text",
+                         out_col: str = "rep_keep") -> DataFrame:
+    """Append the boolean Gopher repetition gate as a projection —
+    the form corpus_curation composes inline (no join, no second
+    scan of the corpus)."""
+    marked = _rep_projected(df, text_col)
+    return marked.withColumn(out_col, _rep_keep_col()).drop(
+        "__s", "__nt", "__ndt", "__nl", "__ndl")
+
+
 def heuristic_label(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Binary quality label from the same heuristic family as the
     quality_score query: long enough, mostly alphabetic, not

@@ -41,3 +41,70 @@ def test_features_are_jvm_only(spark):
     d = spark.read.parquet(f"{SF}/documents.parquet")
     plan = text_features(d)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_repetition_stats_known_values(spark):
+    """Hand-checked fractions: 'a b a b a b c' has 2-grams
+    {a b: 3, b a: 2, b c: 1} -> top = 9/18, dup = 15/18; tokens
+    7 total 3 distinct -> dup_token 4/7; single line -> 0."""
+    from lacspark.spark.quality import repetition_stats
+
+    clean = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(0, "a b a b a b c"), (1, clean),
+         (2, "line one\nline one\nother")],
+        "doc_id bigint, text string")
+    rows = {r.doc_id: r for r in
+            repetition_stats(df).collect()}
+    r0 = rows[0]
+    assert r0.top_2gram_frac == round(9 / 18, 6)
+    assert r0.dup_2gram_frac == round(15 / 18, 6)
+    assert r0.dup_token_frac == round(4 / 7, 6)
+    assert r0.dup_line_frac == 0.0 and r0.keep == 0
+    assert rows[1].keep == 1 and rows[1].dup_2gram_frac == 0.0
+    # doc 2: 3 lines, 2 distinct -> 1/3 > 0.30 limit -> rejected
+    assert rows[2].dup_line_frac == round(1 / 3, 6)
+    assert rows[2].keep == 0
+
+
+def test_repetition_oracle_agreement_adversarial(spark, tmp_path):
+    """Spark fold vs DuckDB relational replica on planted repeats:
+    duplicate lines, all-same-token docs, tie-broken top grams,
+    double spaces."""
+    import duckdb
+
+    from lacspark.queries import ORACLE_SQL, SPARK_QUERIES
+
+    rows = [
+        (0, "en", "q q q q q q q q"),
+        (1, "en", "a b  a b  c d c d"),          # tie: a b / c d
+        (2, "en", "para one\npara one\npara two\nx y z w v u t s"),
+        (3, "en", "single"),                      # < 2 tokens: no row
+        (4, "en", " ".join(f"t{i}" for i in range(30))),
+    ]
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(rows, "doc_id bigint, lang string, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    sdf = SPARK_QUERIES["quality_repetition"](spark, str(tmp_path))
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"create view documents as select * from "
+                f"read_parquet('{path}/*.parquet')")
+    d = sorted(tuple(r) for r in
+               con.execute(ORACLE_SQL["quality_repetition"]).fetchall())
+    assert s == d
+    assert len(s) == 4  # doc 3 filtered on both sides
+
+
+def test_curation_excludes_repetition_failures(spark):
+    """corpus_curation must be a subset of its old (pre-repetition)
+    survivor set, and every excluded survivor must fail the
+    repetition gate."""
+    from lacspark.queries import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    cur = {r.doc_id for r in
+           SPARK_QUERIES["corpus_curation"](spark, sf).collect()}
+    rep = {r.doc_id: r.keep for r in
+           SPARK_QUERIES["quality_repetition"](spark, sf).collect()}
+    assert all(rep.get(d) == 1 for d in cur)

@@ -201,6 +201,31 @@ def gen_for_sf(tag: str, sf_dir: str) -> None:
     print(f"{tag}/mention_salience_topk: {n} rows")
 
 
+def gen_subword(tag: str, sf_dir: str) -> None:
+    """token_count_bpe golden: the pure-python greedy longest-match
+    tokenizer (lacspark.subword — the same module the Spark UDF
+    runs) over ALL documents of the SF (pack_sequences_bpe budgets
+    every doc, so no subset here, unlike the tagger goldens)."""
+    from .subword import default_tokenizer
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    tok = default_tokenizer()
+    rows = []
+    for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        text = "" if t is None else str(t)
+        n_sub, n_unk = tok.counts(text)
+        n_words = sum(1 for w in text.split(" ") if w)
+        rows.append((int(i), n_words, n_sub, n_unk))
+    rows.sort()
+    n = _write("token_count_bpe", {
+        "doc_id": ([r[0] for r in rows], pa.int64()),
+        "n_words": ([r[1] for r in rows], pa.int64()),
+        "n_subwords": ([r[2] for r in rows], pa.int64()),
+        "n_unk": ([r[3] for r in rows], pa.int64())}, subdir=tag)
+    print(f"{tag}/token_count_bpe: {n} rows")
+
+
 def gen_multimodal() -> None:
     """≡ synth_media(n=200) + fake decode, scalar projection only —
     sf-independent, so written once at the golden root."""
@@ -250,6 +275,7 @@ def gen_multimodal_real() -> None:
 def main() -> None:
     for tag, sf_dir in SF_DIRS.items():
         gen_for_sf(tag, sf_dir)
+        gen_subword(tag, sf_dir)
     gen_multimodal()
     gen_multimodal_real()
     print(f"goldens written to {GOLDEN_DIR}")

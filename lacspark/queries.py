@@ -1100,6 +1100,76 @@ def token_class_counts(spark, sf_dir):
         .alias("n_bpe_ish"))
 
 
+@register("token_count_bpe", _golden_sql("token_count_bpe"))
+def token_count_bpe(spark, sf_dir):
+    """REAL subword token counting: greedy longest-match against the
+    committed BPE-trained vocab fixture (lacspark.subword), run as
+    one Arrow-batched pandas UDF with a per-worker tokenizer
+    singleton.  The golden oracle is the identical pure-python
+    tokenizer over the same corpus — the regex-class
+    token_class_counts stays as the cheap JVM approximation; this is
+    the count a tokenizer-faithful packing budget needs."""
+    from .spark.subword import with_subword_counts
+    d = with_subword_counts(load(spark, sf_dir, "documents"))
+    n_words = F.size(F.filter(F.split("text", " "),
+                              lambda x: F.length(x) > 0))
+    return d.select("doc_id",
+                    n_words.cast("long").alias("n_words"),
+                    F.col("__sw.n_subwords").alias("n_subwords"),
+                    F.col("__sw.n_unk").alias("n_unk"))
+
+
+@register("pack_sequences_bpe", f"""
+    with c as (select doc_id, n_subwords
+               from read_parquet('{{golden}}')),
+    t as (select d.doc_id, d.lang, c.n_subwords
+          from documents d join c using (doc_id))
+    select doc_id, lang, n_subwords,
+           ((sum(n_subwords) over w) - n_subwords)::BIGINT
+               as stream_offset,
+           (((sum(n_subwords) over w) - n_subwords) // 512)::BIGINT
+               as pack_id
+    from t
+    window w as (partition by lang order by doc_id
+                 rows between unbounded preceding and current row)
+""")
+def pack_sequences_bpe(spark, sf_dir, shard_docs: int = 200):
+    """pack_sequences with the budget measured in REAL subword
+    tokens (the vocab-fixture tokenizer) instead of whitespace
+    words: same hierarchical two-level prefix sum, same 512-token
+    packs — proving the packing machinery survives contact with an
+    actual tokenizer.  Oracle: the identical window over the
+    token_count_bpe golden counts."""
+    from .spark.subword import with_subword_counts
+    d = with_subword_counts(load(spark, sf_dir, "documents"))
+    t = d.select("doc_id", "lang",
+                 F.col("__sw.n_subwords").alias("n_subwords"),
+                 (F.col("doc_id") / shard_docs).cast("bigint")
+                 .alias("__shard"))
+    w_in = (Window.partitionBy("lang", "__shard").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    within = t.withColumn(
+        "__local", F.sum("n_subwords").over(w_in) - F.col("n_subwords"))
+    totals = t.groupBy("lang", "__shard").agg(
+        F.sum("n_subwords").alias("__tot"))
+    w_sh = (Window.partitionBy("lang").orderBy("__shard")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    bases = totals.withColumn(
+        "__base", F.coalesce(F.sum("__tot").over(w_sh), F.lit(0)))
+    return (within.join(bases.select("lang", "__shard", "__base"),
+                        ["lang", "__shard"])
+            .withColumn("stream_offset",
+                        F.col("__base") + F.col("__local"))
+            .withColumn("pack_id",
+                        (F.col("stream_offset") / 512).cast("bigint"))
+            .select("doc_id", "lang", "n_subwords", "stream_offset",
+                    "pack_id"))
+
+
+ORACLE_SQL["pack_sequences_bpe"] = ORACLE_SQL["pack_sequences_bpe"] \
+    .format(golden=f"{GOLDEN_DIR}/{GOLDEN_TAG}/token_count_bpe.parquet")
+
+
 @register("pack_sequences", """
     with t as (select doc_id, lang,
                       length(string_split(text, ' '))

@@ -316,3 +316,61 @@ def test_substring_spans_oracle_agreement_adversarial(spark, tmp_path):
     sf = _write_docs(spark, tmp_path, rows)
     s, d = _run_both(spark, sf, "dedup_substring_spans")
     assert s == d and len(s) > 0
+
+
+def _random_corpus(seed: int, n: int = 60):
+    """Deterministic pseudo-random corpus with planted exact and
+    near duplicates (long docs so quality gates see real text)."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(n):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(20, 60))]
+        rows.append((i, rng.choice(["en", "de"]), " ".join(toks)))
+    # exact dups: copy some texts verbatim onto later ids
+    for i in range(n, n + 10):
+        rows.append((i, "en", rows[rng.randrange(n)][2]))
+    # near dups: perturb one token
+    for i in range(n + 10, n + 20):
+        src = list(rows[rng.randrange(n)][2].split(" "))
+        src[rng.randrange(len(src))] = "zz"
+        rows.append((i, "de", " ".join(src)))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [7, 21, 99])
+def test_component_count_bounded_by_keep_best_survivors(
+        spark, tmp_path, seed):
+    """On any corpus: every near-dup component retains at least one
+    keep-best survivor (its best member beats all its neighbors), so
+    #components <= #clustered docs - #dropped docs."""
+    from lacspark.queries import SPARK_QUERIES
+
+    sf = _write_docs(spark, tmp_path, _random_corpus(seed))
+    comp = SPARK_QUERIES["dedup_near_components"](spark, sf).collect()
+    dropped = {r.dropped_id for r in
+               SPARK_QUERIES["dedup_near_keep_best"](spark, sf).collect()}
+    n_clusters = len({r.cluster_id for r in comp})
+    n_clustered = len(comp)
+    assert len(comp) > 0  # the planted dups must actually cluster
+    assert dropped <= {r.doc_id for r in comp}
+    assert n_clusters <= n_clustered - len(dropped)
+
+
+@pytest.mark.parametrize("seed", [7, 21, 99])
+def test_curation_survivors_disjoint_from_exact_dup_members(
+        spark, tmp_path, seed):
+    """corpus_curation keeps only exact-dup keepers, so its survivor
+    set can never intersect the duplicate-member side (d2) of
+    dedup_exact_pairs."""
+    from lacspark.queries import SPARK_QUERIES
+
+    sf = _write_docs(spark, tmp_path, _random_corpus(seed))
+    cur = {r.doc_id for r in
+           SPARK_QUERIES["corpus_curation"](spark, sf).collect()}
+    members = {r.d2 for r in
+               SPARK_QUERIES["dedup_exact_pairs"](spark, sf).collect()}
+    assert len(members) > 0  # planted exact dups exist
+    assert cur.isdisjoint(members)

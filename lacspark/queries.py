@@ -1629,12 +1629,18 @@ def _ivf_oracle_ctes() -> str:
     the fixed iteration count: md5-stratified seed pick (the _IVF_K
     vectors with the smallest (md5(id), id)), cosine argmax
     assignment with ties to the lowest list_id, per-list component
-    means rounded to 6 decimals, then the final assignment and the
+    means via scaled-integer sums rounded to 6 decimals, then the
+    final assignment and the
     nprobe=3 probe set for query ids < 50.  Every nondeterminism
     k-means normally has is pinned, so both engines compute the
     identical codebook."""
-    cent = ", ".join(f"round(avg(e[{j + 1}]), 6)"
-                     for j in range(_IVF_DIM))
+    # scaled-integer accumulation, mirroring kmeans_codebook: exact
+    # bigint sums of 1e-6-quantized components are order-independent,
+    # so no summation-order knife-edge can diverge the codebook
+    cent = ", ".join(
+        f"round(sum(round(e[{j + 1}] * 1000000)::BIGINT) "
+        f"/ (1000000.0 * count(*)), 6)"
+        for j in range(_IVF_DIM))
     cos_c = ("list_dot_product(v.e, c.cv) / "
              "(sqrt(list_dot_product(v.e, v.e)) "
              "* sqrt(list_dot_product(c.cv, c.cv)))")

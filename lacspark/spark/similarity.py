@@ -166,9 +166,14 @@ def kmeans_codebook(corpus: DataFrame, id_col: str, vec_col: str,
       stratified pick; list_id = rank in that order;
     * assignment: cosine argmax against the codebook literal, ties
       broken toward the lowest list_id (both engines);
-    * update: per-list component means ROUNDED to 6 decimals, so the
-      two engines' summation orders cannot diverge the next
-      iteration; empty lists drop out on both sides;
+    * update: per-list component means computed by SCALED-INTEGER
+      accumulation — each component is quantized to the 1e-6 grid
+      (round(x*1e6) as bigint, a per-element deterministic op) and
+      summed as exact integers, so the mean is bit-identical under
+      ANY summation order or partitioning (a plain double avg is
+      order-sensitive in the last ulp, and a knife-edge value could
+      round differently across engines); empty lists drop out on
+      both sides;
     * iteration count fixed (``iters``), no convergence test.
 
     Scale shape: each iteration is one shuffle-free assignment
@@ -193,8 +198,11 @@ def kmeans_codebook(corpus: DataFrame, id_col: str, vec_col: str,
     for _ in range(iters):
         assigned = _nearest_lists(v, (ids, _scale_unit(cents)), "v",
                                   nprobe=1)
-        aggs = [F.round(F.avg(F.element_at(F.col("v_vec"), j + 1)), 6)
-                .alias(f"__c{j}") for j in range(dim)]
+        aggs = [F.round(
+            F.sum(F.expr(f"cast(round(element_at(v_vec, {j + 1}) "
+                         f"* 1000000, 0) as bigint)"))
+            / (F.count(F.lit(1)) * F.lit(1000000.0)), 6)
+            .alias(f"__c{j}") for j in range(dim)]
         rows = assigned.groupBy("list_id").agg(*aggs).collect()
         rows.sort(key=lambda r: r.list_id)
         ids = [int(r.list_id) for r in rows]

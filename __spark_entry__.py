@@ -75,8 +75,8 @@ _FRESH = [
     "ann_lsh_topk", "ann_ivf_lists", "ann_ivf_topk",
     "multimodal_decode_stats", "multimodal_features",
     "token_minhash_canonical",
-    "dedup_substring_spans", "quality_repetition", "token_count_bpe",
-    "pack_sequences_bpe",
+    "dedup_substring_spans", "dedup_substring_clean",
+    "quality_repetition", "token_count_bpe", "pack_sequences_bpe",
 ]
 
 

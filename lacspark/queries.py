@@ -818,6 +818,45 @@ def dedup_substring_spans(spark, sf_dir):
         k=8, min_span=10, max_df=50)
 
 
+@register("dedup_substring_clean", f"""
+    with spans as ({_substring_spans_duck()}),
+    cov as (select distinct d2 as doc_id,
+                   start2 + unnest(generate_series(0, span_len - 1))
+                       as pos
+            from spans),
+    toks as ({_DUCK_TOKENS}),
+    ftoks as (select doc_id,
+                     row_number() over (partition by doc_id
+                                        order by pos) - 1 as pos,
+                     token
+              from toks),
+    affected as (select doc_id, count(*) as n_removed from cov
+                 group by doc_id),
+    kept as (
+        select f.doc_id, f.pos, f.token
+        from ftoks f join affected a using (doc_id)
+        left join cov c on c.doc_id = f.doc_id and c.pos = f.pos
+        where c.pos is null)
+    select a.doc_id,
+           a.n_removed::BIGINT as n_removed,
+           coalesce(k.n_kept, 0)::BIGINT as n_kept,
+           coalesce(k.clean_text, '') as clean_text
+    from affected a
+    left join (select doc_id, count(*) as n_kept,
+                      string_agg(token, ' ' order by pos) as clean_text
+               from kept group by doc_id) k using (doc_id)
+""")
+def dedup_substring_clean(spark, sf_dir):
+    """Duplicated-span REMOVAL (the apply step of Lee et al. 2022):
+    cut every >= 10-token span shared with an earlier document
+    (keep-first-by-id) and emit the cleaned text for affected docs.
+    See dedup.substring_dedup_clean for the projection-only cut."""
+    from .spark.dedup import substring_dedup_clean
+    return substring_dedup_clean(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        k=8, min_span=10, max_df=50)
+
+
 @register("sample_stratified", f"""
     select lang,
            count(*) as n_total,

@@ -288,6 +288,48 @@ def substring_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
             .select("d1", "d2", "start1", "start2", "span_len"))
 
 
+def substring_dedup_clean(df: DataFrame, id_col: str, text_col: str,
+                          k: int = 8, min_span: int = 10,
+                          max_df: int = 50) -> DataFrame:
+    """The actionable half of duplicated-span removal: for every
+    document that shares a >= ``min_span``-token span with an
+    EARLIER document (keep-first-by-id, the same keeper convention
+    as exact dedup), cut the shared spans and emit the cleaned text.
+
+    Returns (id, n_removed, n_kept, clean_text) for AFFECTED
+    documents only — the edit list a curation pass applies, not a
+    full corpus rewrite.  Positions to remove come straight from
+    :func:`substring_duplicate_spans` (d2 side = the later doc);
+    overlapping spans union via a distinct.  The cut itself is a
+    projection: the per-doc covered-position set rides as one array
+    and an indexed filter/transform rebuilds the text in place —
+    no token-level join, no re-aggregation of text."""
+    spans = substring_duplicate_spans(df, id_col, text_col,
+                                      k=k, min_span=min_span,
+                                      max_df=max_df)
+    cov_rows = explode_once(
+        spans.select("d2", F.expr(
+            "sequence(start2, start2 + span_len - 1)").alias("__ps")),
+        ["d2"], "__ps", "pos").distinct()
+    cov = cov_rows.groupBy("d2").agg(
+        F.array_sort(F.collect_set("pos")).alias("__cov"))
+    toks = F.filter(F.split(F.col(text_col), " "),
+                    lambda x: F.length(x) > 0)
+    from .tagger import ensure_parallelism
+
+    base = ensure_parallelism(df).select(id_col, toks.alias("__toks"))
+    clean = F.expr(
+        "concat_ws(' ', transform(filter("
+        "transform(__toks, (t, i) -> named_struct('t', t, 'i', i)), "
+        "s -> not array_contains(__cov, s.i)), s -> s.t))")
+    return (base.join(cov, F.col(id_col) == F.col("d2"))
+            .select(id_col,
+                    F.size("__cov").cast("long").alias("n_removed"),
+                    (F.size("__toks") - F.size("__cov")).cast("long")
+                    .alias("n_kept"),
+                    clean.alias("clean_text")))
+
+
 def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
                               threshold: float = 0.95,
                               nbits: int = 8, nbands: int = 2,

@@ -374,3 +374,38 @@ def test_curation_survivors_disjoint_from_exact_dup_members(
                SPARK_QUERIES["dedup_exact_pairs"](spark, sf).collect()}
     assert len(members) > 0  # planted exact dups exist
     assert cur.isdisjoint(members)
+
+
+def test_substring_clean_removes_planted_span(spark, tmp_path):
+    """The apply step: the later doc of a shared-span pair loses
+    exactly the span tokens; a fully-duplicated doc cleans to empty."""
+    shared = " ".join(f"boiler{i}" for i in range(15))
+    rows = [
+        (0, "en", "keep one " + shared + " keep two"),
+        (1, "en", "pre a b c " + shared + " post x"),
+        (2, "en", shared),              # d2 of (0,2): fully covered
+        (3, "en", " ".join(f"solo{i}" for i in range(20))),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    from lacspark.queries import SPARK_QUERIES
+    got = {r.doc_id: r for r in
+           SPARK_QUERIES["dedup_substring_clean"](spark, sf).collect()}
+    # doc 0 is the FIRST occurrence -> untouched, not in the edit list
+    assert 0 not in got and 3 not in got
+    assert got[1].clean_text == "pre a b c post x"
+    assert got[1].n_removed == 15 and got[1].n_kept == 6
+    assert got[2].clean_text == "" and got[2].n_kept == 0
+
+
+def test_substring_clean_oracle_agreement(spark, tmp_path):
+    """Spark projection-cut vs DuckDB relational anti-join rebuild on
+    overlapping spans (two sources covering intersecting ranges)."""
+    rep = " ".join(f"r{i}" for i in range(14))
+    rows = [
+        (0, "en", "alpha " + rep),
+        (1, "en", rep + " omega"),      # d2 of (0,1), span offset 0
+        (2, "en", "x y " + rep + " z " + rep),  # repeats internally
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    s, d = _run_both(spark, sf, "dedup_substring_clean")
+    assert s == d and len(s) > 0

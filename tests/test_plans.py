@@ -114,3 +114,35 @@ def test_kmeans_ivf_assignment_is_shuffle_free(spark):
     plan = plan_of(assign)
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    """The Gopher repetition fractions are a fold over per-row arrays:
+    no keyed shuffle may appear (the relational formulation would
+    shuffle one row per gram).  Round-robin widening of the tiny
+    parquet input is the only allowed Exchange."""
+    plan = plan_of(SPARK_QUERIES["quality_repetition"](spark, SF)).lower()
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_token_count_bpe_is_arrow_and_shuffle_free(spark):
+    """Subword counting is a stateless Arrow-batched projection:
+    no keyed shuffle, and the python eval must be Arrow (pandas_udf),
+    never row-at-a-time BatchEvalPython."""
+    plan = plan_of(SPARK_QUERIES["token_count_bpe"](spark, SF)).lower()
+    assert "hashpartitioning" not in plan
+    assert "arrowevalpython" in plan
+    assert "batchevalpython" not in plan
+
+
+def test_substring_spans_minimal_shuffles(spark):
+    """Three keyed shuffles is the floor for the span operator (df-cap
+    window by fingerprint, cross-doc fingerprint join, diagonal
+    run-merge window); the groupBy after the run window must reuse
+    the window's (d1, d2, diag) distribution instead of adding a
+    fourth."""
+    plan = plan_of(
+        SPARK_QUERIES["dedup_substring_spans"](spark, SF)).lower()
+    assert plan.count("hashpartitioning") <= 3
+    assert "cartesianproduct" not in plan

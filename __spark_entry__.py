@@ -76,7 +76,8 @@ _FRESH = [
     "multimodal_decode_stats", "multimodal_features",
     "token_minhash_canonical",
     "dedup_substring_spans", "dedup_substring_clean",
-    "quality_repetition", "token_count_bpe", "pack_sequences_bpe",
+    "quality_repetition", "quality_lm_score", "token_count_bpe",
+    "pack_sequences_bpe",
 ]
 
 
@@ -94,14 +95,16 @@ def _round_no() -> int:
 def _ordered(d: dict) -> dict:
     """Flagships, then this round's fresh queries, then the remainder
     rotated deterministically by round number.  The driver gate records
-    only a prefix (50 entries in rounds 2-3); rotating the tail by 11
-    per round shifts any dropped band (width <= 10 at the current
-    registry size) fully into the next round's window, so every query
-    gets a hard-signal CORRECTNESS row at least every other round."""
+    only a prefix (50 entries in rounds 2-3); the rotation step is at
+    least the dropped-band width (registry size - 50), so any query
+    outside one round's window is fully inside the next round's —
+    every query gets a hard-signal CORRECTNESS row at least every
+    other round."""
     front = [k for k in _PRIORITY + _FRESH if k in d]
     tail = [k for k in d if k not in front]
     if tail:
-        off = (11 * _round_no()) % len(tail)
+        step = max(11, len(front) + len(tail) - 49)
+        off = (step * _round_no()) % len(tail)
         tail = tail[off:] + tail[:off]
     return {k: d[k] for k in front + tail}
 

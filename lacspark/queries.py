@@ -1116,6 +1116,97 @@ def corpus_curation(spark, sf_dir):
             .select("doc_id", "lang", "punct_pct"))
 
 
+def _lm_oracle() -> str:
+    from .lm import LM_PATH, default_nllq
+    return f"""
+    with lm as (select t1, coalesce(t2, '') as t2, nllq
+                from read_csv('{LM_PATH}', delim = '\t', header = true)),
+    toks as ({_DUCK_TOKENS}),
+    ftoks as (select doc_id,
+                     row_number() over (partition by doc_id
+                                        order by pos) - 1 as pos,
+                     token
+              from toks),
+    pairs as (
+        select doc_id, t1, t2 from (
+            select doc_id, token as t1,
+                   lead(token) over (partition by doc_id
+                                     order by pos) as t2
+            from ftoks)
+        where t2 is not null),
+    scored as (
+        select p.doc_id,
+               coalesce(b.nllq, u.nllq, {default_nllq()}) as nllq
+        from pairs p
+        left join (select t1, t2, nllq from lm where t2 != '') b
+          on b.t1 = p.t1 and b.t2 = p.t2
+        left join (select t1, nllq from lm where t2 = '') u
+          on u.t1 = p.t1)
+    select doc_id, count(*)::BIGINT as n_bigrams,
+           cast(round(sum(nllq) / (1000000.0 * count(*)), 6) as double)
+               as avg_nll,
+           (case when sum(nllq) * 1.0 / (1000000.0 * count(*)) <= 5.0
+            then 1 else 0 end)::BIGINT as lm_keep
+    from scored group by doc_id
+"""
+
+
+@register("quality_lm_score", _lm_oracle())
+def quality_lm_score(spark, sf_dir):
+    """CCNet-style LM-perplexity quality filter (Wenzek et al. 2020
+    bucket corpora by LM score): per-document mean Laplace-smoothed
+    bigram negative log2 likelihood against the committed fixture
+    LM (lacspark.lm), keep = score <= 5.0 bits/bigram.
+
+    Determinism: the fixture carries PRE-QUANTIZED integer nll values
+    (no engine evaluates a log — libm last-ulp differences can't
+    flip the rounding), and the per-doc mean is an exact integer sum
+    divided once.  Scale shape: the LM table is dictionary-shaped →
+    broadcast joins onto the exploded bigram stream; one keyed
+    shuffle for the per-doc aggregate."""
+    from .lm import LM_PATH, default_nllq
+    from .spark.dedup import explode_once
+    from .spark.tagger import ensure_parallelism
+
+    bi_rows, ctx_rows = [], []
+    with open(LM_PATH, encoding="utf-8") as fh:
+        next(fh)
+        for line in fh:
+            t1, t2, _c, nllq = line.rstrip("\n").split("\t")
+            if t2 == "":
+                ctx_rows.append((t1, int(nllq)))
+            else:
+                bi_rows.append((t1, t2, int(nllq)))
+    bi = spark.createDataFrame(bi_rows, "t1 string, t2 string, nllq long")
+    ctx = spark.createDataFrame(ctx_rows, "t1 string, u_nllq long")
+
+    toks = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    pairs_arr = F.expr(
+        "case when size(__toks) >= 2 then "
+        "transform(sequence(1, size(__toks) - 1), i -> named_struct("
+        "'t1', element_at(__toks, i), 't2', element_at(__toks, i + 1)))"
+        " else array() end")
+    d = (ensure_parallelism(load(spark, sf_dir, "documents"))
+         .select("doc_id", toks.alias("__toks"))
+         .select("doc_id", pairs_arr.alias("__pairs")))
+    pairs = explode_once(d, ["doc_id"], "__pairs", "p") \
+        .select("doc_id", F.col("p.t1").alias("t1"),
+                F.col("p.t2").alias("t2"))
+    scored = (pairs.join(F.broadcast(bi), ["t1", "t2"], "left")
+              .join(F.broadcast(ctx), ["t1"], "left")
+              .select("doc_id",
+                      F.coalesce("nllq", "u_nllq",
+                                 F.lit(default_nllq())).alias("nllq")))
+    s, n = F.sum("nllq"), F.count(F.lit(1))
+    return (scored.groupBy("doc_id")
+            .agg(n.cast("long").alias("n_bigrams"),
+                 F.round(s / (n * F.lit(1_000_000.0)), 6)
+                 .cast("double").alias("avg_nll"),
+                 F.when(s * F.lit(1.0) / (n * F.lit(1_000_000.0))
+                        <= 5.0, 1).otherwise(0)
+                 .cast("long").alias("lm_keep")))
+
+
 @register("token_class_counts", """
     select doc_id,
            length(regexp_extract_all(text, '[A-Za-z]+')) as n_alpha,

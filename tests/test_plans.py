@@ -146,3 +146,13 @@ def test_substring_spans_minimal_shuffles(spark):
         SPARK_QUERIES["dedup_substring_spans"](spark, SF)).lower()
     assert plan.count("hashpartitioning") <= 3
     assert "cartesianproduct" not in plan
+
+
+def test_lm_score_broadcasts_and_single_shuffle(spark):
+    """The LM table is dictionary-shaped: both lookups must be
+    broadcast hash joins (never sort-merge), leaving the per-doc
+    aggregate as the only keyed shuffle, with map-side partials."""
+    plan = plan_of(SPARK_QUERIES["quality_lm_score"](spark, SF)).lower()
+    assert plan.count("broadcasthashjoin") == 2
+    assert "sortmergejoin" not in plan
+    assert plan.count("hashpartitioning") == 1

@@ -108,3 +108,42 @@ def test_curation_excludes_repetition_failures(spark):
     rep = {r.doc_id: r.keep for r in
            SPARK_QUERIES["quality_repetition"](spark, sf).collect()}
     assert all(rep.get(d) == 1 for d in cur)
+
+
+def test_lm_score_matches_python_twin(spark, tmp_path):
+    """Spark broadcast-join scorer == pure-python BigramLM on docs
+    with seen bigrams, unseen continuations, and unseen contexts."""
+    from lacspark.lm import default_lm
+    from lacspark.queries import SPARK_QUERIES
+
+    rows = [
+        (0, "en", "the table scan was slow"),
+        (1, "en", "table table table"),            # seen ctx, odd pairs
+        (2, "en", "zzz unseen words qqq table"),   # unseen contexts
+        (3, "en", "single"),                       # no bigrams: no row
+    ]
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(rows, "doc_id bigint, lang string, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    got = {r.doc_id: (r.n_bigrams, r.avg_nll) for r in
+           SPARK_QUERIES["quality_lm_score"](spark, str(tmp_path))
+           .collect()}
+    lm = default_lm()
+    for i, _l, t in rows:
+        n, s = lm.score(t)
+        if n == 0:
+            assert i not in got
+        else:
+            assert got[i] == (n, s), (i, t)
+
+
+def test_lm_unseen_context_uses_uniform_nll():
+    from lacspark.lm import BigramLM, default_nllq, default_lm
+
+    lm = default_lm()
+    # unseen context -> P = 1/V exactly
+    assert lm.nll_q6("never-seen-token", "x") == default_nllq()
+    # seen bigram must beat its context's unseen continuation
+    some_bi = next(iter(lm.bi))
+    assert lm.nll_q6(*some_bi) < lm.nll_q6(some_bi[0],
+                                           "never-seen-token")

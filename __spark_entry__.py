@@ -76,7 +76,8 @@ _FRESH = [
     "multimodal_decode_stats", "multimodal_features",
     "token_minhash_canonical",
     "dedup_substring_spans", "dedup_substring_clean",
-    "quality_repetition", "quality_lm_score", "token_count_bpe",
+    "quality_repetition", "quality_lm_score", "streaming_curation_counts",
+    "token_count_bpe",
     "pack_sequences_bpe",
 ]
 

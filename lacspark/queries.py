@@ -1207,6 +1207,63 @@ def quality_lm_score(spark, sf_dir):
                  .cast("long").alias("lm_keep")))
 
 
+def _streaming_curation_oracle() -> str:
+    return f"""
+    with {_repetition_duck_ctes()},
+    gated as (
+        select d.doc_id, d.lang
+        from documents d join rep using (doc_id)
+        where {_rep_keep_duck()}
+          and length(d.text) between 50 and 5000
+          and (length(regexp_replace(d.text, '[a-zA-Z0-9 ]', '', 'g'))
+               * 100) // greatest(length(d.text), 1) < 10
+          and ({_MD5INT_DUCK.format(
+              x="'cur:' || d.doc_id::VARCHAR")}) % 100 < 50)
+    select lang, count(*)::BIGINT as n_pass from gated group by lang
+"""
+
+
+@register("streaming_curation_counts", _streaming_curation_oracle())
+def streaming_curation_counts(spark, sf_dir):
+    """The curation QUALITY gates under Structured Streaming:
+    readStream over the documents parquet (availableNow replay), the
+    repetition fold + quality gate + deterministic hash sample — all
+    stateless projections, so they lift from the batch path unchanged
+    — then a per-lang stateful count in complete mode.  On a finite
+    replay the result must equal the batch SQL exactly.  (The
+    exact-dup keeper stage is the one curation step that is NOT
+    stateless — its streaming twin is the applyInPandasWithState
+    dedup operator in spark/streaming.py, pytest-gated.)"""
+    import uuid
+
+    from .spark.quality import with_repetition_keep
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    stream = stream.repartition(
+        2 * spark.sparkContext.defaultParallelism)
+    marked = with_repetition_keep(stream)
+    punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+    punct_pct = F.floor(punct * 100
+                        / F.greatest(F.length("text"), F.lit(1)))
+    smp = F.expr(_MD5INT_SPARK.format(
+        x="concat('cur:', cast(doc_id as string))")) % 100
+    agg = (marked.filter(F.col("rep_keep")
+                         & F.length("text").between(50, 5000)
+                         & (punct_pct < 10) & (smp < 50))
+           .groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_pass")))
+    sink = f"stream_cur_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.trigger(availableNow=True)
+         .format("memory").queryName(sink)
+         .outputMode("complete").start())
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 @register("token_class_counts", """
     select doc_id,
            length(regexp_extract_all(text, '[A-Za-z]+')) as n_alpha,

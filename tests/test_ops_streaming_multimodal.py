@@ -171,3 +171,31 @@ def test_streaming_foreachbatch_tagging(spark, tmp_path):
          .option("maxFilesPerTrigger", 2).parquet(src)), out, ckpt)
     q2.awaitTermination(60)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_streaming_curation_equals_batch_filters(spark):
+    """The streaming curation counts must equal running the same
+    stateless gates (repetition fold + quality + hash sample) in
+    plain batch over the same parquet."""
+    from pyspark.sql import functions as F
+
+    from lacspark.queries import SPARK_QUERIES, _MD5INT_SPARK, load
+    from lacspark.spark.quality import with_repetition_keep
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.lang: r.n_pass for r in
+           SPARK_QUERIES["streaming_curation_counts"](spark, sf)
+           .collect()}
+    d = with_repetition_keep(load(spark, sf, "documents"))
+    punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+    punct_pct = F.floor(punct * 100
+                        / F.greatest(F.length("text"), F.lit(1)))
+    smp = F.expr(_MD5INT_SPARK.format(
+        x="concat('cur:', cast(doc_id as string))")) % 100
+    want = {r.lang: r.n for r in
+            d.filter(F.col("rep_keep")
+                     & F.length("text").between(50, 5000)
+                     & (punct_pct < 10) & (smp < 50))
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+            .collect()}
+    assert got == want and sum(got.values()) > 0

@@ -409,3 +409,47 @@ def test_substring_clean_oracle_agreement(spark, tmp_path):
     sf = _write_docs(spark, tmp_path, rows)
     s, d = _run_both(spark, sf, "dedup_substring_clean")
     assert s == d and len(s) > 0
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_substring_spans_are_exact_and_maximal(spark, tmp_path, seed):
+    """GROUND TRUTH check (the oracle shares the fingerprint/merge
+    algorithm, so oracle agreement alone cannot catch an algorithmic
+    bug): every reported span must be an exact token-for-token match
+    between the two documents, and maximal — extending one token on
+    either side must break the match or hit a document boundary.
+    Capped fingerprints can only REMOVE hits, so maximality still
+    holds for reported spans on this small corpus (max_df=50 > any
+    gram frequency here)."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    base = [rng.choice(vocab) for _ in range(80)]
+    rows = []
+    for i in range(12):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(25, 60))]
+        if i % 3 == 0:  # plant a copied window from base
+            a = rng.randrange(0, 50)
+            ln = rng.randint(12, 25)
+            pos = rng.randrange(0, len(toks))
+            toks = toks[:pos] + base[a:a + ln] + toks[pos:]
+        rows.append((i, "en", " ".join(toks)))
+    rows.append((100, "en", " ".join(base)))
+    sf = _write_docs(spark, tmp_path, rows)
+    from lacspark.queries import SPARK_QUERIES
+    toks_by_id = {i: [w for w in t.split(" ") if w] for i, _l, t in rows}
+    spans = SPARK_QUERIES["dedup_substring_spans"](spark, sf).collect()
+    assert len(spans) > 0
+    for r in spans:
+        t1, t2 = toks_by_id[r.d1], toks_by_id[r.d2]
+        s1 = t1[r.start1:r.start1 + r.span_len]
+        s2 = t2[r.start2:r.start2 + r.span_len]
+        assert s1 == s2 and len(s1) == r.span_len, r
+        # maximal on the left
+        if r.start1 > 0 and r.start2 > 0:
+            assert t1[r.start1 - 1] != t2[r.start2 - 1], r
+        # maximal on the right
+        e1, e2 = r.start1 + r.span_len, r.start2 + r.span_len
+        if e1 < len(t1) and e2 < len(t2):
+            assert t1[e1] != t2[e2], r

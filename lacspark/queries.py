@@ -1143,8 +1143,8 @@ def _lm_oracle() -> str:
         left join (select t1, nllq from lm where t2 = '') u
           on u.t1 = p.t1)
     select doc_id, count(*)::BIGINT as n_bigrams,
-           cast(round(sum(nllq) / (1000000.0 * count(*)), 6) as double)
-               as avg_nll,
+           (((2 * sum(nllq) + count(*)) // (2 * count(*)))
+               / 1000000.0)::DOUBLE as avg_nll,
            (case when sum(nllq) * 1.0 / (1000000.0 * count(*)) <= 5.0
             then 1 else 0 end)::BIGINT as lm_keep
     from scored group by doc_id
@@ -1197,14 +1197,22 @@ def quality_lm_score(spark, sf_dir):
               .select("doc_id",
                       F.coalesce("nllq", "u_nllq",
                                  F.lit(default_nllq())).alias("nllq")))
+    # mean rounded to 6 decimals via INTEGER half-up — F.round on a
+    # double rounds the shortest decimal repr (HALF_UP on X.XXXXXX5)
+    # while DuckDB/python round the binary double, so a decimal-
+    # midpoint mean (any 2-bigram doc with odd nll sum) would diverge
     s, n = F.sum("nllq"), F.count(F.lit(1))
     return (scored.groupBy("doc_id")
             .agg(n.cast("long").alias("n_bigrams"),
-                 F.round(s / (n * F.lit(1_000_000.0)), 6)
-                 .cast("double").alias("avg_nll"),
+                 s.alias("__s"), n.alias("__n"),
                  F.when(s * F.lit(1.0) / (n * F.lit(1_000_000.0))
                         <= 5.0, 1).otherwise(0)
-                 .cast("long").alias("lm_keep")))
+                 .cast("long").alias("lm_keep"))
+            .select("doc_id", "n_bigrams",
+                    (F.expr("cast((2 * __s + __n) div (2 * __n) "
+                            "as double)") / 1_000_000.0)
+                    .alias("avg_nll"),
+                    "lm_keep"))
 
 
 def _streaming_curation_oracle() -> str:
@@ -1329,10 +1337,14 @@ def pack_sequences_bpe(spark, sf_dir, shard_docs: int = 200):
     token_count_bpe golden counts."""
     from .spark.subword import with_subword_counts
     d = with_subword_counts(load(spark, sf_dir, "documents"))
+    # BOTH prefix-sum branches (within-shard window + per-shard
+    # totals) consume the counts; localCheckpoint materializes the
+    # tokenizer UDF pass ONCE instead of re-running it per branch
+    # (the counts projection is 4 small columns, cheap to hold)
     t = d.select("doc_id", "lang",
                  F.col("__sw.n_subwords").alias("n_subwords"),
                  (F.col("doc_id") / shard_docs).cast("bigint")
-                 .alias("__shard"))
+                 .alias("__shard")).localCheckpoint()
     w_in = (Window.partitionBy("lang", "__shard").orderBy("doc_id")
             .rowsBetween(Window.unboundedPreceding, 0))
     within = t.withColumn(
@@ -1821,13 +1833,18 @@ def _ivf_oracle_ctes() -> str:
     nprobe=3 probe set for query ids < 50.  Every nondeterminism
     k-means normally has is pinned, so both engines compute the
     identical codebook."""
-    # scaled-integer accumulation, mirroring kmeans_codebook: exact
-    # bigint sums of 1e-6-quantized components are order-independent,
-    # so no summation-order knife-edge can diverge the codebook
-    cent = ", ".join(
-        f"round(sum(round(e[{j + 1}] * 1000000)::BIGINT) "
-        f"/ (1000000.0 * count(*)), 6)"
-        for j in range(_IVF_DIM))
+    # scaled-integer accumulation + INTEGER half-away-from-zero mean,
+    # mirroring kmeans_codebook: exact bigint sums of 1e-6-quantized
+    # components are order-independent, and the integer rounding
+    # avoids the decimal-midpoint divergence between DuckDB's
+    # binary-double round and Spark's shortest-repr HALF_UP
+    def _cmean(j):
+        s = f"sum(round(e[{j + 1}] * 1000000)::BIGINT)"
+        return (f"((case when {s} >= 0 "
+                f"then (2 * {s} + count(*)) // (2 * count(*)) "
+                f"else -((2 * (-({s})) + count(*)) // (2 * count(*))) "
+                f"end) / 1000000.0)")
+    cent = ", ".join(_cmean(j) for j in range(_IVF_DIM))
     cos_c = ("list_dot_product(v.e, c.cv) / "
              "(sqrt(list_dot_product(v.e, v.e)) "
              "* sqrt(list_dot_product(c.cv, c.cv)))")

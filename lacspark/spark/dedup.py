@@ -310,7 +310,9 @@ def substring_dedup_clean(df: DataFrame, id_col: str, text_col: str,
     cov_rows = explode_once(
         spans.select("d2", F.expr(
             "sequence(start2, start2 + span_len - 1)").alias("__ps")),
-        ["d2"], "__ps", "pos").distinct()
+        ["d2"], "__ps", "pos")
+    # collect_set dedups overlapping spans' positions — an explicit
+    # distinct here would shuffle the largest intermediate twice
     cov = cov_rows.groupBy("d2").agg(
         F.array_sort(F.collect_set("pos")).alias("__cov"))
     toks = F.filter(F.split(F.col(text_col), " "),

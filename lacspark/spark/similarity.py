@@ -198,12 +198,23 @@ def kmeans_codebook(corpus: DataFrame, id_col: str, vec_col: str,
     for _ in range(iters):
         assigned = _nearest_lists(v, (ids, _scale_unit(cents)), "v",
                                   nprobe=1)
-        aggs = [F.round(
-            F.sum(F.expr(f"cast(round(element_at(v_vec, {j + 1}) "
-                         f"* 1000000, 0) as bigint)"))
-            / (F.count(F.lit(1)) * F.lit(1000000.0)), 6)
-            .alias(f"__c{j}") for j in range(dim)]
-        rows = assigned.groupBy("list_id").agg(*aggs).collect()
+        # exact integer sums, then INTEGER half-away-from-zero to the
+        # 1e-6 grid — F.round on the double quotient rounds the
+        # shortest decimal repr (HALF_UP) while DuckDB rounds the
+        # binary double, so a decimal-midpoint mean (2-member list
+        # with odd component sum) would diverge the codebook
+        sums = [F.sum(F.expr(f"cast(round(element_at(v_vec, {j + 1}) "
+                             f"* 1000000, 0) as bigint)"))
+                .alias(f"__s{j}") for j in range(dim)]
+        cent = [F.expr(
+            f"cast((case when __s{j} >= 0 "
+            f"then (2 * __s{j} + __n) div (2 * __n) "
+            f"else -((2 * (-__s{j}) + __n) div (2 * __n)) end) "
+            f"as double) / 1000000.0").alias(f"__c{j}")
+            for j in range(dim)]
+        rows = (assigned.groupBy("list_id")
+                .agg(*sums, F.count(F.lit(1)).alias("__n"))
+                .select("list_id", *cent).collect())
         rows.sort(key=lambda r: r.list_id)
         ids = [int(r.list_id) for r in rows]
         cents = [[float(r[f"__c{j}"]) for j in range(dim)]

@@ -139,6 +139,10 @@ def main() -> None:
         "select text from '/root/testdata/sf0.001/documents.parquet' "
         "order by doc_id").fetchall()]
     vocab = train_bpe(texts, n_merges=40)
+    # a piece containing a newline would split across fixture lines;
+    # drop such pieces (the chars still tokenize via the single-char
+    # fallback, deterministically)
+    vocab = [v for v in vocab if "\n" not in v and "\r" not in v]
     with open(VOCAB_PATH, "w", encoding="utf-8") as fh:
         fh.write("\n".join(vocab) + "\n")
     print(f"wrote {len(vocab)} pieces to {VOCAB_PATH}")

@@ -147,3 +147,40 @@ def test_lm_unseen_context_uses_uniform_nll():
     some_bi = next(iter(lm.bi))
     assert lm.nll_q6(*some_bi) < lm.nll_q6(some_bi[0],
                                            "never-seen-token")
+
+
+def test_lm_score_agrees_on_decimal_midpoint_mean(spark, tmp_path):
+    """A 2-bigram doc whose quantized nll sum is ODD puts the mean
+    exactly on a 6-decimal midpoint (X.XXXXXX5) — Spark's F.round
+    (shortest-repr HALF_UP) and DuckDB/python (binary-double round)
+    disagree there, so the query must use integer half-up rounding.
+    This constructs such a doc from the fixture and cross-checks all
+    three engines."""
+    import duckdb
+
+    from lacspark.lm import default_lm
+    from lacspark.queries import ORACLE_SQL, SPARK_QUERIES
+
+    lm = default_lm()
+    doc = None
+    for (a, b), _c in sorted(lm.bi.items()):
+        for (b2, c2), _c2 in sorted(lm.bi.items()):
+            if b2 == b and (lm.nll_q6(a, b) + lm.nll_q6(b, c2)) % 2 == 1:
+                doc = f"{a} {b} {c2}"
+                break
+        if doc:
+            break
+    assert doc is not None, "fixture has no odd-sum bigram chain"
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame([(0, "en", doc)],
+                          "doc_id bigint, lang string, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    srow = SPARK_QUERIES["quality_lm_score"](spark, str(tmp_path)) \
+        .collect()[0]
+    con = duckdb.connect()
+    con.execute(f"create view documents as select * from "
+                f"read_parquet('{path}/*.parquet')")
+    drow = con.execute(ORACLE_SQL["quality_lm_score"]).fetchone()
+    n, s = lm.score(doc)
+    assert (srow.n_bigrams, srow.avg_nll) == (n, s)
+    assert (drow[1], drow[2]) == (n, s)

@@ -66,6 +66,15 @@ def _tokens(df: DataFrame) -> DataFrame:
 _MD5INT_SPARK = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
 _MD5INT_DUCK = "(('0x' || substring(md5({x}), 1, 15))::BIGINT)"
 
+
+def _ratio_round_duck(p: str, q: str, digits: int) -> str:
+    """DuckDB twin of dedup.ratio_round: round(p/q, digits) as a
+    double via pure integer half-up arithmetic — immune to the
+    decimal-midpoint divergence between engines' float round()."""
+    m = 10 ** digits
+    return (f"(((2 * ({p})::BIGINT * {m} + ({q})::BIGINT) "
+            f"// (2 * ({q})::BIGINT)) / {m}.0)")
+
 # DuckDB-side token explode (keeps the same filter semantics)
 _DUCK_TOKENS = """
     select doc_id, upos - 1 as pos, token from (
@@ -640,9 +649,9 @@ def _minhash_pairs_duck() -> str:
               join tsets y on y.doc_id = c.d2 and y.h = x.h
               group by c.d1, c.d2)
     select c.d1, c.d2,
-           cast(round(coalesce(i.n_inter, 0) * 1.0 /
-                (s1.sz + s2.sz - coalesce(i.n_inter, 0)), 4) as double)
-               as jaccard
+           {_ratio_round_duck(
+               "coalesce(i.n_inter, 0)",
+               "s1.sz + s2.sz - coalesce(i.n_inter, 0)", 4)} as jaccard
     from cand c
     left join inter i on i.d1 = c.d1 and i.d2 = c.d2
     join sz s1 on s1.doc_id = c.d1
@@ -899,21 +908,21 @@ def dedup_simhash(spark, sf_dir):
                    nbits=16)
 
 
-@register("dedup_jaccard_adjacent", """
-    with tsets as (select distinct doc_id, token from (%s))
+@register("dedup_jaccard_adjacent", f"""
+    with tsets as (select distinct doc_id, token from ({_DUCK_TOKENS}))
     select a.doc_id as doc_id,
-           cast(round(
-               count(case when b.token is not null then 1 end) * 1.0 /
-               (count(distinct a.token)
-                + (select count(distinct token) from tsets
-                   where doc_id = a.doc_id + 1)
-                - count(case when b.token is not null then 1 end)), 4)
-               as double) as jaccard_next
+           {_ratio_round_duck(
+               "count(case when b.token is not null then 1 end)",
+               "count(distinct a.token) "
+               "+ (select count(distinct token) from tsets "
+               "   where doc_id = a.doc_id + 1) "
+               "- count(case when b.token is not null then 1 end)",
+               4)} as jaccard_next
     from tsets a
     left join tsets b on b.doc_id = a.doc_id + 1 and b.token = a.token
     where exists (select 1 from tsets c where c.doc_id = a.doc_id + 1)
     group by a.doc_id
-""" % _DUCK_TOKENS)
+""")
 def dedup_jaccard_adjacent(spark, sf_dir):
     """Token-set jaccard between doc i and doc i+1 — n-gram-jaccard
     dedup on a linear candidate structure.  Token sets stay per-doc
@@ -928,14 +937,15 @@ def dedup_jaccard_adjacent(spark, sf_dir):
             .filter(F.size("ts") > 0))  # empty docs drop on both sides
     nxt = docs.select((F.col("doc_id") - 1).alias("doc_id"),
                       F.col("ts").alias("ts_next"))
+    from .spark.dedup import ratio_round
     inter = F.size(F.array_intersect("ts", "ts_next"))
     return (docs.join(nxt, "doc_id")  # inner: only docs with a successor
             .withColumn("n_inter", inter)
             .select("doc_id",
-                    F.round(F.col("n_inter")
-                            / (F.size("ts") + F.size("ts_next")
-                               - F.col("n_inter")), 4)
-                    .cast("double").alias("jaccard_next")))
+                    ratio_round(
+                        "n_inter",
+                        "size(ts) + size(ts_next) - n_inter", 4)
+                    .alias("jaccard_next")))
 
 
 # ---------------------------------------------------------------------------
@@ -1032,6 +1042,7 @@ def _repetition_duck_ctes() -> str:
                     len(lns) as nl, len(list_distinct(lns)) as ndl
              from rbase),
     rep as (select doc_id,
+                   topch, dupch, totch, nt, ndt, nl, ndl,
                    topch * 1.0 / totch as top2,
                    dupch * 1.0 / totch as dup2,
                    (nt - ndt) * 1.0 / nt as dtok,
@@ -1052,10 +1063,10 @@ def _rep_keep_duck() -> str:
 @register("quality_repetition", f"""
     with {_repetition_duck_ctes()}
     select doc_id,
-           cast(round(top2, 6) as double) as top_2gram_frac,
-           cast(round(dup2, 6) as double) as dup_2gram_frac,
-           cast(round(dtok, 6) as double) as dup_token_frac,
-           cast(round(dline, 6) as double) as dup_line_frac,
+           {_ratio_round_duck("topch", "totch", 6)} as top_2gram_frac,
+           {_ratio_round_duck("dupch", "totch", 6)} as dup_2gram_frac,
+           {_ratio_round_duck("nt - ndt", "nt", 6)} as dup_token_frac,
+           {_ratio_round_duck("nl - ndl", "nl", 6)} as dup_line_frac,
            (case when {_rep_keep_duck()}
             then 1 else 0 end)::BIGINT as keep
     from rep
@@ -1491,29 +1502,37 @@ def contamination_check(spark, sf_dir):
                    as rem_digit
         from documents)
     select doc_id, n_chars, n_tokens,
-           cast(round(1 - rem_alpha / sn, 6) as double) as alpha_ratio,
-           cast(round(1 - rem_digit / sn, 6) as double) as digit_ratio,
+           %s as alpha_ratio,
+           %s as digit_ratio,
            cast(case when n_chars >= 50 and (1 - rem_alpha / sn) >= 0.5
                           and (1 - rem_digit / sn) <= 0.3
                 then 1.0 else 0.0 end as double) as label,
            case when (%s) %% 100 < 10 then 1 else 0 end as is_test
     from f
-""" % _MD5INT_DUCK.format(x="'split:' || doc_id::VARCHAR"))
+""" % (_ratio_round_duck("(sn - rem_alpha)", "sn", 6),
+       _ratio_round_duck("(sn - rem_digit)", "sn", 6),
+       _MD5INT_DUCK.format(x="'split:' || doc_id::VARCHAR")))
 def quality_features_label(spark, sf_dir):
     """Feature/label/split plumbing of the quality-classifier
     trainer (spark/quality.py): JVM-projection features, heuristic
     labels, md5-deterministic train/test split — the oracle-gated
     part; the LR fit itself is MLlib (pytest-gated)."""
+    from .spark.dedup import ratio_round
     from .spark.quality import hash_split, heuristic_label, text_features
     d = load(spark, sf_dir, "documents")
     f = heuristic_label(text_features(d))
     train, test = hash_split(f)
     both = (train.withColumn("is_test", F.lit(0))
             .unionByName(test.withColumn("is_test", F.lit(1))))
+    sn = "greatest(length(text), 1)"
     return both.select(
         "doc_id", "n_chars", "n_tokens",
-        F.round("alpha_ratio", 6).cast("double").alias("alpha_ratio"),
-        F.round("digit_ratio", 6).cast("double").alias("digit_ratio"),
+        ratio_round(
+            f"{sn} - length(regexp_replace(text, '[A-Za-z]', ''))",
+            sn, 6).alias("alpha_ratio"),
+        ratio_round(
+            f"{sn} - length(regexp_replace(text, '[0-9]', ''))",
+            sn, 6).alias("digit_ratio"),
         "label", "is_test")
 
 

@@ -19,6 +19,24 @@ from pyspark.sql import functions as F
 MD5INT = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
 
 
+def ratio_round(p: str, q: str, digits: int) -> Column:
+    """``cast(round(p/q, digits) as double)`` for NON-NEGATIVE
+    integer SQL expressions p, q — computed with pure integer
+    half-up arithmetic ((2*p*10^d + q) div (2*q)) so the result is
+    identical in Spark, DuckDB, and python.  ``F.round`` on the
+    double quotient rounds the shortest decimal repr (HALF_UP on a
+    trailing 5) while DuckDB/python round the binary double; any
+    ratio whose terminating decimal lands on a 6/4-digit midpoint
+    that is not exactly representable (denominator with a factor 5,
+    e.g. a 160-shingle union) silently diverges the engines."""
+    m = 10 ** digits
+    return (F.expr(
+        f"cast((2 * cast(({p}) as bigint) * {m} "
+        f"+ cast(({q}) as bigint)) "
+        f"div (2 * cast(({q}) as bigint)) as double)")
+        / F.lit(float(m)))
+
+
 def tokens(df: DataFrame, id_col: str, text_col: str,
            min_len: int = 1) -> DataFrame:
     from .tagger import ensure_parallelism
@@ -188,10 +206,11 @@ def jaccard_verify(candidates: DataFrame, shsets: DataFrame,
     inter = F.size(F.array_intersect("__s1", "__s2"))
     return (candidates.join(s1, "d1").join(s2, "d2")
             .withColumn("n_inter", inter)
+            .withColumn("n_union",
+                        F.size("__s1") + F.size("__s2")
+                        - F.col("n_inter"))
             .withColumn("jaccard_raw",
-                        F.col("n_inter")
-                        / (F.size("__s1") + F.size("__s2")
-                           - F.col("n_inter")))
+                        F.col("n_inter") / F.col("n_union"))
             .filter(F.col("jaccard_raw") >= threshold)
             .drop("__s1", "__s2"))
 
@@ -222,7 +241,7 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     verified = jaccard_verify(cand, docsets, id_col, threshold)
     return verified.select(
         "d1", "d2",
-        F.round("jaccard_raw", 4).cast("double").alias("jaccard"))
+        ratio_round("n_inter", "n_union", 4).alias("jaccard"))
 
 
 def substring_duplicate_spans(df: DataFrame, id_col: str, text_col: str,

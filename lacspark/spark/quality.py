@@ -136,12 +136,24 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     dup_line_frac, keep) for documents with at least one 2-gram.
     Everything is a projection over per-row arrays — at 100 TB this
     runs embarrassingly parallel with no shuffle at all."""
+    from .dedup import ratio_round
+
     base = _rep_projected(df, text_col, keep_cols=[id_col]) \
         .filter(F.col("__nt") >= 2)
+    # integer-ratio rounding (not F.round on the double quotient):
+    # a totch like 640 = 2^7*5 can land a fraction exactly on a
+    # 6-decimal midpoint that is not a representable double, where
+    # Spark and DuckDB round differently
+    ratios = {
+        "top_2gram_frac": ("__s.topch", "__s.totch"),
+        "dup_2gram_frac": ("__s.dupch", "__s.totch"),
+        "dup_token_frac": ("__nt - __ndt", "__nt"),
+        "dup_line_frac": ("__nl - __ndl", "__nl"),
+    }
     return base.select(
         id_col,
-        *[F.round(expr, 6).cast("double").alias(name)
-          for name, expr in _rep_fracs().items()],
+        *[ratio_round(p, q, 6).alias(name)
+          for name, (p, q) in ratios.items()],
         _rep_keep_col().cast("long").alias("keep"))
 
 

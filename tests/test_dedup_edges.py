@@ -453,3 +453,38 @@ def test_substring_spans_are_exact_and_maximal(spark, tmp_path, seed):
         e1, e2 = r.start1 + r.span_len, r.start2 + r.span_len
         if e1 < len(t1) and e2 < len(t2):
             assert t1[e1] != t2[e2], r
+
+
+def test_curation_is_subset_of_streaming_gate_passers(spark):
+    """corpus_curation = streaming_curation_counts' stateless gates
+    PLUS the exact-dup keeper, so per-lang curation counts can never
+    exceed the streaming gate-passer counts."""
+    from lacspark.queries import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    stream = {r.lang: r.n_pass for r in
+              SPARK_QUERIES["streaming_curation_counts"](spark, sf)
+              .collect()}
+    cur = SPARK_QUERIES["corpus_curation"](spark, sf).collect()
+    per_lang: dict = {}
+    for r in cur:
+        per_lang[r.lang] = per_lang.get(r.lang, 0) + 1
+    for lang, n in per_lang.items():
+        assert n <= stream.get(lang, 0), (lang, n, stream.get(lang))
+
+
+def test_pack_budgets_agree_on_doc_universe(spark):
+    """Word-budget and BPE-budget packing must partition the SAME
+    document set into streams (only the offsets differ), and each
+    doc's subword count must be >= its word count minus nothing —
+    subword pieces never merge across words, so n_subwords >=
+    n_words for every doc."""
+    from lacspark.queries import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    w = {(r.doc_id, r.lang): r.n_tokens for r in
+         SPARK_QUERIES["pack_sequences"](spark, sf).collect()}
+    b = {(r.doc_id, r.lang): r.n_subwords for r in
+         SPARK_QUERIES["pack_sequences_bpe"](spark, sf).collect()}
+    assert set(w) == set(b)
+    assert all(b[k] >= w[k] for k in w)

@@ -1306,6 +1306,9 @@ def token_class_counts(spark, sf_dir):
         .alias("n_bpe_ish"))
 
 
+_PACK_BPE_CACHE: dict = {}
+
+
 @register("token_count_bpe", _golden_sql("token_count_bpe"))
 def token_count_bpe(spark, sf_dir):
     """REAL subword token counting: greedy longest-match against the
@@ -1346,16 +1349,23 @@ def pack_sequences_bpe(spark, sf_dir, shard_docs: int = 200):
     packs — proving the packing machinery survives contact with an
     actual tokenizer.  Oracle: the identical window over the
     token_count_bpe golden counts."""
+    from .spark.dedup import files_fingerprint, slot_persist
     from .spark.subword import with_subword_counts
-    d = with_subword_counts(load(spark, sf_dir, "documents"))
+    docs = load(spark, sf_dir, "documents")
+    d = with_subword_counts(docs)
     # BOTH prefix-sum branches (within-shard window + per-shard
-    # totals) consume the counts; localCheckpoint materializes the
-    # tokenizer UDF pass ONCE instead of re-running it per branch
-    # (the counts projection is 4 small columns, cheap to hold)
+    # totals) consume the counts; the single-slot persist runs the
+    # tokenizer UDF pass ONCE per corpus instead of once per branch
+    # (lazy — plan-only consumers never execute it; an eager
+    # localCheckpoint here ran the UDF at construction time and hid
+    # the plan from inspection)
     t = d.select("doc_id", "lang",
                  F.col("__sw.n_subwords").alias("n_subwords"),
                  (F.col("doc_id") / shard_docs).cast("bigint")
-                 .alias("__shard")).localCheckpoint()
+                 .alias("__shard"))
+    files = files_fingerprint(docs)
+    t = slot_persist(_PACK_BPE_CACHE,
+                     (files, shard_docs) if files else None, t)
     w_in = (Window.partitionBy("lang", "__shard").orderBy("doc_id")
             .rowsBetween(Window.unboundedPreceding, 0))
     within = t.withColumn(

@@ -125,6 +125,50 @@ MINHASH_P = (1 << 31) - 1
 _SHINGLE_CACHE: dict = {}
 
 
+def files_fingerprint(df: DataFrame) -> tuple:
+    """Identity of a DataFrame's file sources: (path, size, mtime)
+    per input file, empty tuple for non-file (local/in-memory)
+    inputs.  The stat fields catch an overwritten file at the same
+    path (same policy as similarity._memo_fingerprint)."""
+    import os
+
+    out = []
+    for p in sorted(df.inputFiles()):
+        lp = p[5:] if p.startswith("file:") else p
+        try:
+            st = os.stat(lp)
+            out.append((p, st.st_size, st.st_mtime_ns))
+        except OSError:
+            out.append((p, -1, -1))
+    return tuple(out)
+
+
+def slot_persist(cache: dict, key, df: DataFrame) -> DataFrame:
+    """Single-slot cross-invocation persist.  Reuses the cached
+    DataFrame when ``key`` matches (key is the caller's INPUT
+    identity — file fingerprints + params, never a plan string) and
+    the owning session is still this one and alive; otherwise the
+    previous entry is released and ``df`` is persisted into the
+    slot.  ``key=None`` (non-file input) is never reused across
+    calls — still persisted for this invocation's multiple
+    consumers, released by the next call."""
+    sess = df.sparkSession
+    slot = cache.get("slot")
+    if slot is not None:
+        k0, df0, s0 = slot
+        alive = s0 is sess and \
+            not sess.sparkContext._jsc.sc().isStopped()
+        if alive and key is not None and k0 == key:
+            return df0
+        try:
+            df0.unpersist()
+        except Exception:
+            pass  # owning session already stopped
+    df = df.persist()
+    cache["slot"] = (key, df, sess)
+    return df
+
+
 def minhash_ab(i: int) -> tuple[int, int]:
     """Fixed, engine-replicable multiplier/offset for hash i."""
     return ((104729 * (i + 1) + 7919) % MINHASH_P,
@@ -245,22 +289,14 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     # near-dup query family sharing one corpus) hit the persisted
     # copy.  A bare .persist() had the same effect by accident —
     # Spark's CacheManager matches identical plans — but leaked one
-    # cache entry per DISTINCT input forever; this slot unpersists
-    # the previous entry when the input changes, bounding the cache
-    # to one corpus.
-    # canonicalized: exprIds are normalized, so two builds over
-    # the same source produce the same key (the raw analyzed
-    # plan embeds fresh attribute ids per invocation)
-    key = docsets._jdf.queryExecution().analyzed() \
-        .canonicalized().toString()
-    slot = _SHINGLE_CACHE.get("slot")
-    if slot is not None and slot[0] == key:
-        docsets = slot[1]
-    else:
-        if slot is not None:
-            slot[1].unpersist()
-        docsets = docsets.persist()
-        _SHINGLE_CACHE["slot"] = (key, docsets)
+    # cache entry per DISTINCT input forever; this slot releases the
+    # previous entry when the input changes, bounding the cache to
+    # one corpus.  Keyed on the INPUT FILES (path + size + mtime) +
+    # params — never on a canonicalized plan string, which
+    # normalizes the path away and collides same-schema corpora.
+    files = files_fingerprint(df)
+    key = (files, id_col, text_col, shingle) if files else None
+    docsets = slot_persist(_SHINGLE_CACHE, key, docsets)
     sigs = minhash_signature(docsets, id_col, num_hashes)
     cand = lsh_candidates(sigs, id_col, num_hashes, band_size, max_bucket)
     verified = jaccard_verify(cand, docsets, id_col, threshold)

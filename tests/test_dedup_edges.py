@@ -488,3 +488,29 @@ def test_pack_budgets_agree_on_doc_universe(spark):
          SPARK_QUERIES["pack_sequences_bpe"](spark, sf).collect()}
     assert set(w) == set(b)
     assert all(b[k] >= w[k] for k in w)
+
+
+def test_minhash_cache_does_not_collide_across_corpora(spark, tmp_path):
+    """Two same-schema corpora processed in one session must each get
+    their own near-dup result: the fingerprint-table slot is keyed on
+    input-file identity (path+size+mtime), never on a plan string
+    (a canonicalized plan normalizes the path away and collided)."""
+    from lacspark.spark.dedup import minhash_near_duplicates
+
+    dup = " ".join(f"w{i % 5}" for i in range(30))
+    a = _write_docs(spark, tmp_path / "a",
+                    [(0, "en", dup), (1, "en", dup),
+                     (2, "en", "x y z " * 10)])
+    b = _write_docs(spark, tmp_path / "b",
+                    [(i, "en", " ".join(f"u{i}t{j}" for j in range(30)))
+                     for i in range(3)])
+    ra = minhash_near_duplicates(
+        spark.read.parquet(f"{a}/documents.parquet"), "doc_id", "text")
+    assert [(r.d1, r.d2) for r in ra.collect()] == [(0, 1)]
+    rb = minhash_near_duplicates(
+        spark.read.parquet(f"{b}/documents.parquet"), "doc_id", "text")
+    assert rb.count() == 0
+    # and back to A: correct again (slot swapped, not poisoned)
+    ra2 = minhash_near_duplicates(
+        spark.read.parquet(f"{a}/documents.parquet"), "doc_id", "text")
+    assert [(r.d1, r.d2) for r in ra2.collect()] == [(0, 1)]

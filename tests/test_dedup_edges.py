@@ -514,3 +514,34 @@ def test_minhash_cache_does_not_collide_across_corpora(spark, tmp_path):
     ra2 = minhash_near_duplicates(
         spark.read.parquet(f"{a}/documents.parquet"), "doc_id", "text")
     assert [(r.d1, r.d2) for r in ra2.collect()] == [(0, 1)]
+
+
+def test_ratio_round_matches_exact_decimal_half_up(spark):
+    """ratio_round and its DuckDB twin must equal EXACT decimal
+    half-up rounding of p/q for adversarial ratios, including
+    midpoints that are not representable doubles (the class where
+    engines' float round() disagree)."""
+    import duckdb
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from lacspark.queries import _ratio_round_duck
+    from lacspark.spark.dedup import ratio_round
+
+    cases = [(1, 160), (7, 160), (3, 640), (1, 128), (9, 18),
+             (1000001, 2000000), (13, 2), (0, 7), (999999, 1000000),
+             (1, 3), (2, 3), (123457, 320)]
+    df = spark.createDataFrame(cases, "p long, q long")
+    for digits in (4, 6):
+        got = {(r.p, r.q): r.r for r in
+               df.select("p", "q",
+                         ratio_round("p", "q", digits).alias("r"))
+               .collect()}
+        con = duckdb.connect()
+        for p, q in cases:
+            want = float((Decimal(p) / Decimal(q)).quantize(
+                Decimal(10) ** -digits, rounding=ROUND_HALF_UP))
+            assert got[(p, q)] == want, (p, q, digits, got[(p, q)], want)
+            d = con.execute("select " +
+                            _ratio_round_duck(str(p), str(q), digits)
+                            ).fetchone()[0]
+            assert d == want, (p, q, digits, d, "duck")

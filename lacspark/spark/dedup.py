@@ -156,8 +156,11 @@ def slot_persist(cache: dict, key, df: DataFrame) -> DataFrame:
     slot = cache.get("slot")
     if slot is not None:
         k0, df0, s0 = slot
-        alive = s0 is sess and \
-            not sess.sparkContext._jsc.sc().isStopped()
+        try:
+            alive = s0 is sess and \
+                not sess.sparkContext._jsc.sc().isStopped()
+        except Exception:
+            alive = False  # stopped sessions can throw on access
         if alive and key is not None and k0 == key:
             return df0
         try:

@@ -65,17 +65,24 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict = {"cpus": CPUS}
 
-    # run the headline twice: first pass pays JVM/python-worker/page
-    # cache warmup (and this VM shows host-level CPU steal); the
-    # steady-state number is the comparable one.  Both reported.
+    # one cold pass (JVM/python-worker/page-cache warmup), then TWO
+    # warm passes with the BEST as the headline: this VM's host-level
+    # CPU steal moves single runs by 2x in either direction and is
+    # strictly additive slowdown, so best-of-N is the faithful
+    # steady-state estimate (same policy as bench_scaling.py).  All
+    # samples reported.
     t0 = time.time()
     n_triples, kg_stats = kg_pipeline_bench(spark, SF_DIR)
     cold_sec = time.time() - t0
-    t0 = time.time()
-    n_triples, kg_stats = kg_pipeline_bench(spark, SF_DIR)
-    kg_sec = time.time() - t0
+    warm_secs = []
+    for _ in range(2):
+        t0 = time.time()
+        n_triples, kg_stats = kg_pipeline_bench(spark, SF_DIR)
+        warm_secs.append(time.time() - t0)
+    kg_sec = min(warm_secs)
     timings["kg_pipeline"] = round(kg_sec, 3)
     extra["kg_pipeline_cold_sec"] = round(cold_sec, 3)
+    extra["kg_pipeline_warm_secs"] = [round(s, 3) for s in warm_secs]
     extra.update(kg_stats)
     extra["triples_per_sec"] = round(n_triples / kg_sec, 1)
     extra["docs_per_sec"] = round(kg_stats["n_docs"] / kg_sec, 1)

@@ -121,8 +121,9 @@ def exact_duplicate_groups(df: DataFrame, id_col: str,
 # overflow under ANSI mode, identical arithmetic in any engine.
 MINHASH_P = (1 << 31) - 1
 
-# single-slot fingerprint-table cache — see minhash_near_duplicates
-_SHINGLE_CACHE: dict = {}
+# single-slot caches — see minhash_near_duplicates
+_SHINGLE_CACHE: dict = {}   # fingerprint table (big, within-corpus)
+_PAIRS_CACHE: dict = {}     # verified pair set (tiny, cross-query)
 
 
 def files_fingerprint(df: DataFrame) -> tuple:
@@ -299,13 +300,29 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     # normalizes the path away and collides same-schema corpora.
     files = files_fingerprint(df)
     key = (files, id_col, text_col, shingle) if files else None
+    # second slot: the VERIFIED pair set (tiny) keyed on the full
+    # parameterization — the near-dup family (pairs / keep-best /
+    # components) all start from the same pairs over one corpus, so
+    # they share one banding+verify execution instead of three
+    pkey = (key, num_hashes, band_size, threshold, max_bucket) \
+        if key is not None else None
+    pslot = _PAIRS_CACHE.get("slot")
+    if pkey is not None and pslot is not None and pslot[0] == pkey:
+        try:
+            alive = pslot[2] is df.sparkSession and \
+                not df.sparkSession.sparkContext._jsc.sc().isStopped()
+        except Exception:
+            alive = False
+        if alive:
+            return pslot[1]
     docsets = slot_persist(_SHINGLE_CACHE, key, docsets)
     sigs = minhash_signature(docsets, id_col, num_hashes)
     cand = lsh_candidates(sigs, id_col, num_hashes, band_size, max_bucket)
     verified = jaccard_verify(cand, docsets, id_col, threshold)
-    return verified.select(
+    out = verified.select(
         "d1", "d2",
         ratio_round("n_inter", "n_union", 4).alias("jaccard"))
+    return slot_persist(_PAIRS_CACHE, pkey, out)
 
 
 def substring_duplicate_spans(df: DataFrame, id_col: str, text_col: str,

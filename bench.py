@@ -83,6 +83,10 @@ def main() -> None:
     timings["kg_pipeline"] = round(kg_sec, 3)
     extra["kg_pipeline_cold_sec"] = round(cold_sec, 3)
     extra["kg_pipeline_warm_secs"] = [round(s, 3) for s in warm_secs]
+    # best-of-warm is the frozen headline (see BASELINE.md); the mean of
+    # the same samples is reported alongside as the pessimistic bound
+    extra["kg_pipeline_warm_mean_sec"] = round(
+        sum(warm_secs) / len(warm_secs), 3)
     extra.update(kg_stats)
     extra["triples_per_sec"] = round(n_triples / kg_sec, 1)
     extra["docs_per_sec"] = round(kg_stats["n_docs"] / kg_sec, 1)
@@ -135,25 +139,29 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json")
     with open(local_path, "w") as fh:
         json.dump(out, fh, indent=1)
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
-    compact = {
-        "metric": out["metric"],
-        "value": out["value"],
-        "unit": "sec",
-        "queries": {"kg_pipeline": timings["kg_pipeline"], **slowest},
-        "sf": sf,
-        "extra": {
-            "cpus": CPUS,
-            "n_queries": len(timings),
-            "triples_per_sec": extra["triples_per_sec"],
-            "chars_per_sec": extra["chars_per_sec"],
-            "n_triples": extra["n_triples"],
-            "kg_pipeline_cold_sec": extra["kg_pipeline_cold_sec"],
-            "methodology": "warm pass; full detail in BENCH_local.json",
-        },
-    }
-    line = json.dumps(compact)
-    assert len(line) < 1900, f"compact bench line too long: {len(line)}"
+    # Shrink the slowest-query list until the line fits the driver's
+    # ~2 kB stdout tail window — never abort after results exist.
+    for top_n in (10, 6, 3, 0):
+        slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:top_n])
+        compact = {
+            "metric": out["metric"],
+            "value": out["value"],
+            "unit": "sec",
+            "queries": {"kg_pipeline": timings["kg_pipeline"], **slowest},
+            "sf": sf,
+            "extra": {
+                "cpus": CPUS,
+                "n_queries": len(timings),
+                "triples_per_sec": extra["triples_per_sec"],
+                "chars_per_sec": extra["chars_per_sec"],
+                "n_triples": extra["n_triples"],
+                "kg_pipeline_cold_sec": extra["kg_pipeline_cold_sec"],
+                "methodology": "warm pass; full detail in BENCH_local.json",
+            },
+        }
+        line = json.dumps(compact)
+        if len(line) < 1900:
+            break
     print(line)
     spark.stop()
 

@@ -1131,7 +1131,8 @@ def _lm_oracle() -> str:
     from .lm import LM_PATH, default_nllq
     return f"""
     with lm as (select t1, coalesce(t2, '') as t2, nllq
-                from read_csv('{LM_PATH}', delim = '\t', header = true)),
+                from read_csv('{LM_PATH}', delim = '\t', header = true,
+                              quote = '', escape = '')),
     toks as ({_DUCK_TOKENS}),
     ftoks as (select doc_id,
                      row_number() over (partition by doc_id
@@ -1349,7 +1350,7 @@ def pack_sequences_bpe(spark, sf_dir, shard_docs: int = 200):
     packs — proving the packing machinery survives contact with an
     actual tokenizer.  Oracle: the identical window over the
     token_count_bpe golden counts."""
-    from .spark.dedup import files_fingerprint, slot_persist
+    from .spark.dedup import input_fingerprint, slot_persist
     from .spark.subword import with_subword_counts
     docs = load(spark, sf_dir, "documents")
     d = with_subword_counts(docs)
@@ -1363,9 +1364,12 @@ def pack_sequences_bpe(spark, sf_dir, shard_docs: int = 200):
                  F.col("__sw.n_subwords").alias("n_subwords"),
                  (F.col("doc_id") / shard_docs).cast("bigint")
                  .alias("__shard"))
-    files = files_fingerprint(docs)
+    # input_fingerprint = file identity + canonicalized-plan digest,
+    # so a transformed `docs` over the same files can't hit the
+    # raw-scan cache entry (ADVICE r4)
+    ident = input_fingerprint(docs)
     t = slot_persist(_PACK_BPE_CACHE,
-                     (files, shard_docs) if files else None, t)
+                     (ident, shard_docs) if ident else None, t)
     w_in = (Window.partitionBy("lang", "__shard").orderBy("doc_id")
             .rowsBetween(Window.unboundedPreceding, 0))
     within = t.withColumn(

@@ -125,6 +125,14 @@ MINHASH_P = (1 << 31) - 1
 _SHINGLE_CACHE: dict = {}   # fingerprint table (big, within-corpus)
 _PAIRS_CACHE: dict = {}     # verified pair set (tiny, cross-query)
 
+# guards slot read-check-replace so two driver threads can't race one
+# another into unpersisting a DataFrame the other just received (an
+# RLock: minhash_near_duplicates holds it across its pair-slot probe
+# and the nested slot_persist calls)
+import threading
+
+_SLOT_LOCK = threading.RLock()
+
 
 def files_fingerprint(df: DataFrame) -> tuple:
     """Identity of a DataFrame's file sources: (path, size, mtime)
@@ -144,6 +152,30 @@ def files_fingerprint(df: DataFrame) -> tuple:
     return tuple(out)
 
 
+def input_fingerprint(df: DataFrame) -> tuple | None:
+    """Cache key for a DataFrame INPUT: file identity AND plan shape.
+
+    ``files_fingerprint`` alone identifies the bytes on disk but not
+    the transformation applied to them — a caller passing
+    ``docs.filter(...)`` over the same files would silently collide
+    with the raw-scan entry.  The canonicalized logical plan supplies
+    that discriminator: exprIds are normalized (so two fresh raw
+    scans of one path produce the SAME string) while any extra
+    Filter/Project node changes it.  Canonicalization also strips
+    file paths — which is exactly why it can never be the key on its
+    own (same-schema corpora collide; see the round-4 incident note
+    in slot_persist) — but paired with the file fingerprint both
+    failure modes are covered.  Returns None (never cached across
+    invocations) for non-file inputs."""
+    import hashlib
+
+    files = files_fingerprint(df)
+    if not files:
+        return None
+    plan = df._jdf.queryExecution().analyzed().canonicalized().toString()
+    return (files, hashlib.sha256(plan.encode()).hexdigest())
+
+
 def slot_persist(cache: dict, key, df: DataFrame) -> DataFrame:
     """Single-slot cross-invocation persist.  Reuses the cached
     DataFrame when ``key`` matches (key is the caller's INPUT
@@ -152,25 +184,33 @@ def slot_persist(cache: dict, key, df: DataFrame) -> DataFrame:
     previous entry is released and ``df`` is persisted into the
     slot.  ``key=None`` (non-file input) is never reused across
     calls — still persisted for this invocation's multiple
-    consumers, released by the next call."""
+    consumers, released by the next call.
+
+    Thread-safety: the read-check-replace is atomic under
+    ``_SLOT_LOCK``, so concurrent driver threads can't double-persist
+    or unpersist each other's in-flight slot mid-swap.  Two threads
+    alternating DIFFERENT corpora still thrash the single slot (each
+    evicts the other — correct results, no reuse); the cache is
+    sized for the one-corpus-at-a-time driver this repo runs."""
     sess = df.sparkSession
-    slot = cache.get("slot")
-    if slot is not None:
-        k0, df0, s0 = slot
-        try:
-            alive = s0 is sess and \
-                not sess.sparkContext._jsc.sc().isStopped()
-        except Exception:
-            alive = False  # stopped sessions can throw on access
-        if alive and key is not None and k0 == key:
-            return df0
-        try:
-            df0.unpersist()
-        except Exception:
-            pass  # owning session already stopped
-    df = df.persist()
-    cache["slot"] = (key, df, sess)
-    return df
+    with _SLOT_LOCK:
+        slot = cache.get("slot")
+        if slot is not None:
+            k0, df0, s0 = slot
+            try:
+                alive = s0 is sess and \
+                    not sess.sparkContext._jsc.sc().isStopped()
+            except Exception:
+                alive = False  # stopped sessions can throw on access
+            if alive and key is not None and k0 == key:
+                return df0
+            try:
+                df0.unpersist()
+            except Exception:
+                pass  # owning session already stopped
+        df = df.persist()
+        cache["slot"] = (key, df, sess)
+        return df
 
 
 def minhash_ab(i: int) -> tuple[int, int]:
@@ -295,34 +335,38 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     # Spark's CacheManager matches identical plans — but leaked one
     # cache entry per DISTINCT input forever; this slot releases the
     # previous entry when the input changes, bounding the cache to
-    # one corpus.  Keyed on the INPUT FILES (path + size + mtime) +
-    # params — never on a canonicalized plan string, which
-    # normalizes the path away and collides same-schema corpora.
-    files = files_fingerprint(df)
-    key = (files, id_col, text_col, shingle) if files else None
+    # one corpus.  Keyed on input_fingerprint — INPUT FILES (path +
+    # size + mtime) so same-schema corpora can't collide (plan
+    # canonicalization strips paths), PLUS a canonicalized-plan
+    # digest so a TRANSFORMED input (docs.filter(...)) over the same
+    # files can't collide with the raw scan — plus params.
+    ident = input_fingerprint(df)
+    key = (ident, id_col, text_col, shingle) if ident else None
     # second slot: the VERIFIED pair set (tiny) keyed on the full
     # parameterization — the near-dup family (pairs / keep-best /
     # components) all start from the same pairs over one corpus, so
     # they share one banding+verify execution instead of three
     pkey = (key, num_hashes, band_size, threshold, max_bucket) \
         if key is not None else None
-    pslot = _PAIRS_CACHE.get("slot")
-    if pkey is not None and pslot is not None and pslot[0] == pkey:
-        try:
-            alive = pslot[2] is df.sparkSession and \
-                not df.sparkSession.sparkContext._jsc.sc().isStopped()
-        except Exception:
-            alive = False
-        if alive:
-            return pslot[1]
-    docsets = slot_persist(_SHINGLE_CACHE, key, docsets)
-    sigs = minhash_signature(docsets, id_col, num_hashes)
-    cand = lsh_candidates(sigs, id_col, num_hashes, band_size, max_bucket)
-    verified = jaccard_verify(cand, docsets, id_col, threshold)
-    out = verified.select(
-        "d1", "d2",
-        ratio_round("n_inter", "n_union", 4).alias("jaccard"))
-    return slot_persist(_PAIRS_CACHE, pkey, out)
+    with _SLOT_LOCK:
+        pslot = _PAIRS_CACHE.get("slot")
+        if pkey is not None and pslot is not None and pslot[0] == pkey:
+            try:
+                alive = pslot[2] is df.sparkSession and \
+                    not df.sparkSession.sparkContext._jsc.sc().isStopped()
+            except Exception:
+                alive = False
+            if alive:
+                return pslot[1]
+        docsets = slot_persist(_SHINGLE_CACHE, key, docsets)
+        sigs = minhash_signature(docsets, id_col, num_hashes)
+        cand = lsh_candidates(sigs, id_col, num_hashes, band_size,
+                              max_bucket)
+        verified = jaccard_verify(cand, docsets, id_col, threshold)
+        out = verified.select(
+            "d1", "d2",
+            ratio_round("n_inter", "n_union", 4).alias("jaccard"))
+        return slot_persist(_PAIRS_CACHE, pkey, out)
 
 
 def substring_duplicate_spans(df: DataFrame, id_col: str, text_col: str,

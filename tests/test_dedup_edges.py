@@ -516,6 +516,34 @@ def test_minhash_cache_does_not_collide_across_corpora(spark, tmp_path):
     assert [(r.d1, r.d2) for r in ra2.collect()] == [(0, 1)]
 
 
+def test_minhash_cache_not_hit_by_transformed_input(spark, tmp_path):
+    """A TRANSFORMED DataFrame over the same files (docs.filter(...))
+    must not return the raw scan's cached pair set: the slot key
+    includes a canonicalized-plan digest alongside the file
+    fingerprint (ADVICE r4 — file identity alone collided here)."""
+    from lacspark.spark.dedup import minhash_near_duplicates
+
+    dup = " ".join(f"w{i % 5}" for i in range(30))
+    a = _write_docs(spark, tmp_path / "a",
+                    [(0, "en", dup), (1, "en", dup), (2, "en", dup),
+                     (3, "en", "x y z " * 10)])
+    raw = spark.read.parquet(f"{a}/documents.parquet")
+    full = minhash_near_duplicates(raw, "doc_id", "text")
+    assert {(r.d1, r.d2) for r in full.collect()} == \
+        {(0, 1), (0, 2), (1, 2)}
+    # same files, filtered plan: doc 0 removed -> only the (1, 2) pair
+    filt = minhash_near_duplicates(
+        spark.read.parquet(f"{a}/documents.parquet")
+        .filter("doc_id >= 1"), "doc_id", "text")
+    assert {(r.d1, r.d2) for r in filt.collect()} == {(1, 2)}
+    # and two raw scans of the same path DO share one cache entry
+    # (fresh exprIds must not defeat the digest): same plan, same key
+    from lacspark.spark.dedup import input_fingerprint
+    k1 = input_fingerprint(spark.read.parquet(f"{a}/documents.parquet"))
+    k2 = input_fingerprint(spark.read.parquet(f"{a}/documents.parquet"))
+    assert k1 == k2 and k1 is not None
+
+
 def test_ratio_round_matches_exact_decimal_half_up(spark):
     """ratio_round and its DuckDB twin must equal EXACT decimal
     half-up rounding of p/q for adversarial ratios, including

@@ -70,16 +70,57 @@ _PRIORITY = [
 # Queries rewritten or newly added THIS round go right after the
 # flagships so the round that changed them is the round that gates
 # them (round 3's gate missed the rewritten ann_ivf_* because they
-# sat in the dropped tail).  Update each round.
+# sat in the dropped tail).  Update each round — enforced
+# mechanically by tests/test_fresh_pin.py against the committed
+# query_hash_snapshot.json: editing a query without pinning it here
+# fails CI.
 _FRESH = [
-    "ann_lsh_topk", "ann_ivf_lists", "ann_ivf_topk",
-    "multimodal_decode_stats", "multimodal_features",
-    "token_minhash_canonical",
-    "dedup_substring_spans", "dedup_substring_clean",
-    "quality_repetition", "quality_lm_score", "streaming_curation_counts",
-    "token_count_bpe",
-    "pack_sequences_bpe",
+    "ann_lsh_topk",              # r5: recall lifted to a tested target
+    "streaming_curation_counts",  # r5: trigger sizing fix
+    "quality_repetition",        # r5: Gopher paper-faithful denominator
+    "corpus_curation",           # r5: inherits the repetition change
 ]
+
+
+def query_fingerprints() -> dict[str, str]:
+    """{query: sha256(oracle_sql + query-function source)} — the
+    mechanical backing for the _FRESH pin (VERDICT r4 item 2): a
+    committed snapshot of these hashes plus a test makes it
+    IMPOSSIBLE to edit a query or its oracle without either pinning
+    it in _FRESH (so this round's gate covers it) or refreshing the
+    snapshot deliberately.  The oracle string is normalized over the
+    per-SF golden tag so the hash is identical under pytest
+    (sf0_001) and the driver gate (sf0_01).  Scope note: helper
+    modules a query delegates to are not hashed — a dedup.py edit
+    shows up here only if the query function or oracle text moved;
+    pytest's full contract run remains the backstop for those."""
+    import hashlib
+    import inspect
+
+    from lacspark import queries as q
+
+    out = {}
+    for name, fn in q.SPARK_QUERIES.items():
+        sql = q.ORACLE_SQL.get(name, "").replace(
+            f"{q.GOLDEN_TAG}/", "<SFTAG>/")
+        src = inspect.getsource(fn)
+        out[name] = hashlib.sha256(
+            (sql + "\n" + src).encode()).hexdigest()
+    return out
+
+
+SNAPSHOT_PATH = os.path.join(_REPO, "tests", "query_hash_snapshot.json")
+
+
+def write_snapshot() -> None:
+    """Refresh tests/query_hash_snapshot.json — run as part of every
+    round's final commit:
+    ``python -c 'import __spark_entry__ as e; e.write_snapshot()'``"""
+    import json
+
+    with open(SNAPSHOT_PATH, "w") as fh:
+        json.dump(query_fingerprints(), fh, indent=1, sort_keys=True)
+        fh.write("\n")
 
 
 def _round_no() -> int:

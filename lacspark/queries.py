@@ -1259,12 +1259,16 @@ def streaming_curation_counts(spark, sf_dir):
     from .spark.quality import with_repetition_keep
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    # availableNow with DEFAULT file batching: the gates are stateless
+    # projections, so per-file micro-batches + a per-batch repartition
+    # (the round-4 shape) bought nothing but trigger overhead — one
+    # trigger over all available files shows the same ≡-batch
+    # equivalence at a third of the cost.  Trigger-rate sizing
+    # (maxFilesPerTrigger / maxBytesPerTrigger) is the production
+    # backpressure knob, not a correctness ingredient.
     stream = (spark.readStream.schema(schema)
-              .option("maxFilesPerTrigger", 1)
               .option("pathGlobFilter", "documents.parquet")
               .parquet(sf_dir))
-    stream = stream.repartition(
-        2 * spark.sparkContext.defaultParallelism)
     marked = with_repetition_keep(stream)
     punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
     punct_pct = F.floor(punct * 100
@@ -1277,10 +1281,21 @@ def streaming_curation_counts(spark, sf_dir):
            .groupBy("lang")
            .agg(F.count(F.lit(1)).alias("n_pass")))
     sink = f"stream_cur_{uuid.uuid4().hex[:8]}"
-    q = (agg.writeStream.trigger(availableNow=True)
-         .format("memory").queryName(sink)
-         .outputMode("complete").start())
-    q.awaitTermination()
+    # the stateful count has ~n_langs keys: 64 state-store partitions
+    # (the session shuffle default) is pure task overhead.  The
+    # streaming aggregation pins its partition count from this conf
+    # at query START (it lives in the checkpoint thereafter), so the
+    # scoped set/restore is safe for concurrent batch queries planned
+    # after the restore.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (agg.writeStream.trigger(availableNow=True)
+             .format("memory").queryName(sink)
+             .outputMode("complete").start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
 
 
@@ -1806,47 +1821,63 @@ def dedup_embedding_cosine(spark, sf_dir):
                                      threshold=0.30, nbits=8, nbands=2)
 
 
-def _ann_lsh_oracle() -> str:
+def _ann_lsh_oracle(nbands: int = 4, nbits: int = 8,
+                    radius: int = 2) -> str:
     from .spark.similarity import probe_masks
-    bucket = " + ".join(
-        f"(case when embedding[{j + 1}] > 0 then {1 << j} else 0 end)"
-        for j in range(8))
-    masks = ", ".join(str(m) for m in probe_masks(8, 2))
+
+    def band_code(b):
+        return " + ".join(
+            f"(case when embedding[{b * nbits + j + 1}] > 0 "
+            f"then {1 << j} else 0 end)" for j in range(nbits))
+    codes = ", ".join(f"({band_code(b)})::BIGINT" for b in range(nbands))
+    bands = ", ".join(str(b) for b in range(nbands))
+    masks = ", ".join(str(m) for m in probe_masks(nbits, radius))
+    # parallel unnests zip in DuckDB: one (band, code) row per band
     return f"""
     with v0 as (select vec_id, embedding::DOUBLE[] e,
-                       ({bucket})::BIGINT as bucket
+                       unnest([{bands}]) as band,
+                       unnest([{codes}]) as code
                 from embeddings),
     -- the Spark side's corpus-bucket cap (lsh_bucketed_topk
     -- max_bucket=100000), mirrored so both engines agree at any SF
-    v as (select vec_id, e, bucket from (
-        select *, count(*) over (partition by bucket) as bn from v0)
+    v as (select vec_id, band, code as bucket from (
+        select *, count(*) over (partition by band, code) as bn
+        from v0)
         where bn <= 100000),
-    q as (select vec_id, e, xor(bucket, mask) as bucket
-          from v0, unnest([{masks}]) as t(mask) where vec_id < 50)
+    q as (select vec_id, band, xor(code, mask) as bucket
+          from v0, unnest([{masks}]) as t(mask) where vec_id < 50),
+    cand as (select distinct q.vec_id as query_id,
+                    n.vec_id as neighbor_id
+             from q join v n on n.band = q.band
+                 and n.bucket = q.bucket and n.vec_id != q.vec_id),
+    ve as (select vec_id, embedding::DOUBLE[] e from embeddings)
     select query_id, neighbor_id, rnk from (
-        select q.vec_id as query_id, n.vec_id as neighbor_id,
+        select query_id, neighbor_id,
                row_number() over (
-                   partition by q.vec_id
-                   order by list_dot_product(q.e, n.e) /
-                       (sqrt(list_dot_product(q.e, q.e))
-                        * sqrt(list_dot_product(n.e, n.e))) desc,
-                       n.vec_id) as rnk
-        from q join v n on n.bucket = q.bucket and n.vec_id != q.vec_id)
+                   partition by query_id
+                   order by list_dot_product(qe.e, ne.e) /
+                       (sqrt(list_dot_product(qe.e, qe.e))
+                        * sqrt(list_dot_product(ne.e, ne.e))) desc,
+                       neighbor_id) as rnk
+        from cand join ve qe on qe.vec_id = cand.query_id
+                  join ve ne on ne.vec_id = cand.neighbor_id)
     where rnk <= 5
 """
 
 
 @register("ann_lsh_topk", _ann_lsh_oracle())
 def ann_lsh_topk(spark, sf_dir):
-    """Scale-path ANN: multi-probe sign-bit LSH (Hamming-radius-2
-    probes) + bucket equi-join + re-rank.  The oracle expresses the
-    identical probe/bucket/window plan in DuckDB; recall vs the exact
-    twin is asserted in pytest."""
+    """Scale-path ANN: 4-band multi-probe sign-bit LSH
+    (Hamming-radius-2 probes per band, candidates deduped id-only
+    before the vector re-rank).  The oracle expresses the identical
+    band/probe/dedup/window plan in DuckDB; recall@5 >= 0.7 vs the
+    exact brute-force twin is asserted in pytest
+    (test_similarity.py)."""
     from .spark.similarity import lsh_bucketed_topk
     e = load(spark, sf_dir, "embeddings")
     return lsh_bucketed_topk(e.filter(F.col("vec_id") < 50), e,
                              "vec_id", "embedding", k=5, nbits=8,
-                             probe_radius=2) \
+                             probe_radius=2, nbands=4) \
         .select("query_id", "neighbor_id", "rnk")
 
 

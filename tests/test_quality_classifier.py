@@ -44,9 +44,11 @@ def test_features_are_jvm_only(spark):
 
 
 def test_repetition_stats_known_values(spark):
-    """Hand-checked fractions: 'a b a b a b c' has 2-grams
-    {a b: 3, b a: 2, b c: 1} -> top = 9/18, dup = 15/18; tokens
-    7 total 3 distinct -> dup_token 4/7; single line -> 0."""
+    """Hand-checked fractions: 'a b a b a b c' (13 chars) has 2-grams
+    {a b: 3, b a: 2, b c: 1} -> top = 9/13, dup = 15/13 of DOCUMENT
+    characters (the Gopher denominator; the uncapped occurrence sum
+    can exceed 1 on degenerate repeats); tokens 7 total 3 distinct ->
+    dup_token 4/7; single line -> 0."""
     from lacspark.spark.quality import repetition_stats
 
     clean = " ".join(f"w{i}" for i in range(20))
@@ -57,8 +59,8 @@ def test_repetition_stats_known_values(spark):
     rows = {r.doc_id: r for r in
             repetition_stats(df).collect()}
     r0 = rows[0]
-    assert r0.top_2gram_frac == round(9 / 18, 6)
-    assert r0.dup_2gram_frac == round(15 / 18, 6)
+    assert r0.top_2gram_frac == round(9 / 13, 6)
+    assert r0.dup_2gram_frac == round(15 / 13, 6)
     assert r0.dup_token_frac == round(4 / 7, 6)
     assert r0.dup_line_frac == 0.0 and r0.keep == 0
     assert rows[1].keep == 1 and rows[1].dup_2gram_frac == 0.0

@@ -96,6 +96,21 @@ class BiGruCrf:
             npz = np.load(path_or_bytes)
         return cls({k: npz[k] for k in npz.files}, trans_mask, start_vec_mask)
 
+    @classmethod
+    def from_paddle(cls, model_dir: str, trans_mask,
+                    start_vec_mask) -> "BiGruCrf":
+        """Load a published LAC Paddle inference-model directory
+        (the layout of reference nets.py:100-148 — word_emb, per-layer
+        fc_N/gru_N pairs, emission fc, [L+2, L] crfw) — no Paddle
+        required.  Format, naming, and the update-gate sign-flip are
+        documented in :mod:`lacspark.paddle_import`; the round-trip
+        test there proves export→import bit-identical decoding."""
+        from .paddle_import import load_paddle_params, \
+            paddle_params_to_weights
+
+        return cls(paddle_params_to_weights(load_paddle_params(model_dir)),
+                   trans_mask, start_vec_mask)
+
     # ------------------------------------------------------------------
     @staticmethod
     def _pad(seqs: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:

@@ -1,0 +1,95 @@
+"""Paddle-weight import adapter round trip (VERDICT r4 item 1).
+
+The test fabricates a Paddle-layout model directory ITSELF — the
+exact per-param binary files (SerializeToStream framing + TensorDesc
+protobuf) and auto-generated layer names the published LAC model dir
+uses — then imports it with ``BiGruCrf.from_paddle`` and asserts
+bit-identical decoding against the natively-constructed network.
+That proves the name mapping, the per-gate bias summing, the
+update-gate sign-flip, and the crfw row split are mutually
+consistent, paddle-free."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lacspark import resource_dir
+from lacspark.net import BiGruCrf
+from lacspark.paddle_import import (load_paddle_params,
+                                    paddle_params_to_weights,
+                                    read_paddle_tensor, save_paddle_dir,
+                                    weights_to_paddle_params,
+                                    write_paddle_tensor)
+from lacspark.tagscheme import LAC_LABELS, start_mask, transition_mask
+
+
+@pytest.fixture(scope="module")
+def native() -> BiGruCrf:
+    import os
+
+    return BiGruCrf.load(
+        os.path.join(str(resource_dir()), "lac_weights.npz"),
+        transition_mask(LAC_LABELS), start_mask(LAC_LABELS))
+
+
+def test_tensor_file_roundtrip():
+    rng = np.random.default_rng(7)
+    for arr in (rng.standard_normal((3, 5)).astype(np.float32),
+                rng.standard_normal((1, 9)).astype(np.float32),
+                np.arange(24, dtype=np.int64).reshape(2, 3, 4),
+                rng.standard_normal(8).astype(np.float64)):
+        back = read_paddle_tensor(write_paddle_tensor(arr))
+        assert back.dtype == arr.dtype and back.shape == arr.shape
+        assert np.array_equal(back, arr)
+
+
+def test_param_mapping_roundtrip_exact(native):
+    w2 = paddle_params_to_weights(weights_to_paddle_params(native.w))
+    for k, v in native.w.items():
+        if k.startswith(("tag_emb", "r0_", "rank_")):
+            continue  # rank head: native extension, not in the layout
+        assert k in w2, k
+        assert np.array_equal(w2[k], v), k
+
+
+def test_model_dir_import_bit_identical_tags(native, tmp_path):
+    model_dir = tmp_path / "lac_model"
+    save_paddle_dir(native.w, str(model_dir))
+    # the dir looks like a real one: __model__ + one file per param
+    names = {p.name for p in model_dir.iterdir()}
+    assert "__model__" in names and "word_emb" in names \
+        and "crfw" in names and "fc_0.w_0" in names \
+        and "gru_0.w_0" in names
+    imported = BiGruCrf.from_paddle(
+        str(model_dir), transition_mask(LAC_LABELS),
+        start_mask(LAC_LABELS))
+    assert imported.n_layers == native.n_layers
+    assert imported.n_labels == native.n_labels
+    rng = np.random.default_rng(11)
+    vocab = native.w["emb"].shape[0]
+    seqs = [rng.integers(0, vocab, size=n).astype(np.int64)
+            for n in (1, 2, 7, 40, 200, 0, 13)]
+    got = imported.decode(seqs)
+    want = native.decode(seqs)
+    for g, w in zip(got, want):
+        assert np.array_equal(g, w)
+
+
+def test_crfw_rows_split_matches_linear_chain_crf_layout(native):
+    params = weights_to_paddle_params(native.w)
+    crfw = params["crfw"]
+    n_labels = native.n_labels
+    assert crfw.shape == (n_labels + 2, n_labels)
+    assert np.array_equal(crfw[0], native.w["crf_start"])
+    assert np.array_equal(crfw[1], native.w["crf_stop"])
+    assert np.array_equal(crfw[2:], native.w["crf_trans"])
+
+
+def test_import_rejects_non_lac_dirs(tmp_path):
+    d = tmp_path / "notamodel"
+    d.mkdir()
+    (d / "something").write_bytes(
+        write_paddle_tensor(np.zeros(3, dtype=np.float32)))
+    with pytest.raises(ValueError, match="word_emb"):
+        paddle_params_to_weights(load_paddle_params(str(d)))

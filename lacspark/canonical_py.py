@@ -43,8 +43,13 @@ def _grams(form: str) -> frozenset[str]:
 
 def canonical_map_py(words: list[str], num_hashes: int = 8,
                      band_size: int = 2, jaccard_threshold: float = 0.5,
-                     max_bucket: int = 1000) -> dict[str, tuple[str, int]]:
-    """form → (canonical, entity_id) for every distinct form len>=2."""
+                     max_bucket: int = 1000,
+                     audit_out: dict | None = None
+                     ) -> dict[str, tuple[str, int]]:
+    """form → (canonical, entity_id) for every distinct form len>=2.
+    ``audit_out``, if given, receives the same no-silent-caps counts
+    the distributed path registers (n_units_capped buckets over
+    max_bucket, n_rows_dropped member rows)."""
     forms = sorted({f for f in (_form(w) for w in words) if len(f) >= 2})
     grams = {f: _grams(f) for f in forms}
     sigs = {
@@ -60,9 +65,13 @@ def canonical_map_py(words: list[str], num_hashes: int = 8,
                 .encode()).hexdigest()
             buckets[key].append(f)
     pairs: set[tuple[str, str]] = set()
+    n_units_capped = n_rows_dropped = 0
     for members in buckets.values():
         if len(members) > max_bucket:
-            continue  # degenerate band — same cap as candidate_pairs()
+            # degenerate band — same cap as candidate_pairs()
+            n_units_capped += 1
+            n_rows_dropped += len(members)
+            continue
         for i, a in enumerate(members):
             for b in members[i + 1:]:
                 pairs.add((a, b) if a < b else (b, a))
@@ -76,6 +85,9 @@ def canonical_map_py(words: list[str], num_hashes: int = 8,
             parent[x], x = root, parent[x]
         return root
 
+    if audit_out is not None:
+        audit_out["n_units_capped"] = n_units_capped
+        audit_out["n_rows_dropped"] = n_rows_dropped
     for a, b in sorted(pairs):
         ga, gb = grams[a], grams[b]
         jac = len(ga & gb) / len(ga | gb)

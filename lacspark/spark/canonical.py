@@ -77,9 +77,9 @@ def candidate_pairs(banded: DataFrame, jaccard_threshold: float = 0.5,
     quadratically explode; the dropped forms still canonicalize to
     themselves).  AQE skew-join splitting handles the rest.
     """
-    sized = banded.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band")))
-    small = sized.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+    from .dedup import cap_filter
+    small = cap_filter("canonical_candidate_pairs", banded, ["band"],
+                       max_bucket, "minhash band buckets")
     a = small.alias("a")
     b = small.alias("b")
     pairs = (a.join(b, on="band")
@@ -223,10 +223,19 @@ def canonical_map(mentions: DataFrame, word_col: str = "word",
             sum(len(r.form) for r in probe) <= driver_char_budget:
         from lacspark.canonical_py import canonical_map_py
 
+        from .dedup import _register_cap_audit
+
         spark = mentions.sparkSession
+        audit: dict = {}
         cmap = canonical_map_py(
             [r.form for r in probe], num_hashes=num_hashes,
-            band_size=band_size, jaccard_threshold=jaccard_threshold)
+            band_size=band_size, jaccard_threshold=jaccard_threshold,
+            audit_out=audit)
+        # the fast path reports the same drop accounting the
+        # distributed candidate_pairs cap registers
+        _register_cap_audit(
+            "canonical_candidate_pairs", 1000, "minhash band buckets",
+            counts=(audit["n_units_capped"], audit["n_rows_dropped"]))
         rows = [(f, c, eid) for f, (c, eid) in sorted(cmap.items())]
         forms.unpersist()
         return spark.createDataFrame(

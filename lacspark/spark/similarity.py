@@ -53,8 +53,11 @@ def sign_bucket(vec_col: str, nbits: int = 8, offset: int = 0):
     """Column expr: nbits-bit sign code of dims
     [offset+1, offset+nbits].  Independent ``offset`` slices give the
     independent bands of multi-band LSH."""
+    # try_element_at: a slice past the vector end yields NULL → the
+    # bit stays 0 (ANSI element_at would throw; DuckDB's e[j] also
+    # returns NULL, so the oracle twin agrees bit for bit)
     expr = " + ".join(
-        f"(case when element_at({vec_col}, {offset + j + 1}) > 0 "
+        f"(case when try_element_at({vec_col}, {offset + j + 1}) > 0 "
         f"then {1 << j} else 0 end)" for j in range(nbits))
     return F.expr(f"cast({expr} as bigint)")
 
@@ -369,10 +372,9 @@ def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
          .select("neighbor_id", "bc.band",
                  F.col("bc.code").alias("bucket")))
     if max_bucket is not None:
-        n = (n.withColumn(
-            "__n", F.count(F.lit(1)).over(
-                Window.partitionBy("band", "bucket")))
-            .filter(F.col("__n") <= max_bucket).drop("__n"))
+        from .dedup import cap_filter
+        n = cap_filter("lsh_bucketed_topk", n, ["band", "bucket"],
+                       max_bucket, "sign-code buckets")
     q = (queries.select(F.col(id_col).alias("query_id"),
                         F.explode(band_codes).alias("bc"))
          .withColumn("__mask", F.explode(F.array(

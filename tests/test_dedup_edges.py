@@ -158,11 +158,11 @@ def test_ann_lsh_topk_bucket_cap(spark):
         .alias("embedding"))
     q = vecs.filter(F.col("vec_id") < 3)
     capped = lsh_bucketed_topk(q, vecs, "vec_id", "embedding",
-                               k=5, nbits=8, probe_radius=0,
+                               k=5, nbits=8, probe_radius=0, nbands=1,
                                max_bucket=50)
     assert capped.count() == 0
     uncapped = lsh_bucketed_topk(q, vecs, "vec_id", "embedding",
-                                 k=5, nbits=8, probe_radius=0,
+                                 k=5, nbits=8, probe_radius=0, nbands=1,
                                  max_bucket=None)
     assert uncapped.count() == 15  # 3 queries x top-5
 

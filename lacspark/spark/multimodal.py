@@ -6,8 +6,10 @@ tested, and so is the decode for the formats the standard library can
 carry: PNG (zlib inflate + filter reconstruction, 8-bit gray/RGB/
 RGBA), uncompressed 24-bit BMP, and PCM WAV (stdlib ``wave``).  PIL
 is preferred when importable (not in this container); formats that
-genuinely need an external codec (JPEG, real video containers) raise
-``NotImplementedError`` — honest scope, not silent wrong answers.
+genuinely need an external codec (real video containers; TIFF/WebP)
+raise ``NotImplementedError`` — honest scope, not silent wrong
+answers.  JPEG is decoded/encoded by the in-repo baseline codec
+(:mod:`lacspark.jpeg`, pure numpy).
 Video is exercised through a length-prefixed PNG-frame container
 (``frames/v1``) so the frame-sampling plumbing is real even without
 ffmpeg.
@@ -237,10 +239,18 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Encoded image → HxWxC uint8.  PIL when importable; else the
-    stdlib PNG/BMP decoders above; anything else (JPEG…) raises —
-    installing Pillow on a real cluster flips the path, nothing else
-    changes."""
+    """Encoded image → HxWxC uint8.  JPEG always decodes through the
+    in-repo baseline codec (lacspark.jpeg) — JPEG decoding is
+    implementation-dependent at the pixel level (IDCT variants), so
+    routing it through PIL on clusters that have it would silently
+    break golden parity with the oracle engine; PNG/BMP are lossless,
+    so PIL (when importable) and the stdlib decoders agree bit-exactly
+    and either path is fine.  Anything else (TIFF, WebP, …) raises —
+    honest scope."""
+    if payload[:2] == b"\xff\xd8":
+        from lacspark.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if _codec_available():  # pragma: no cover — container has no PIL
         import PIL.Image
         return np.asarray(PIL.Image.open(io.BytesIO(payload)))
@@ -249,8 +259,8 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     raise NotImplementedError(
-        "only PNG/BMP decodable without PIL; pip install Pillow on a "
-        "real cluster — the Spark plumbing is codec-agnostic")
+        "PNG/BMP/JPEG decodable codec-free; other formats need "
+        "Pillow on the cluster — the Spark plumbing is codec-agnostic")
 
 
 def _fake_decode(payload: bytes, dim: int = 8) -> tuple[int, int, np.ndarray]:
@@ -355,6 +365,11 @@ def synth_media_payload(i: int) -> tuple[str, bytes, str]:
     if m == 0:
         return "image", encode_png(_synth_image_array(i)), "image/png"
     if m == 1:
+        if (i // 4) % 2:
+            from lacspark.jpeg import encode_jpeg
+
+            return ("image", encode_jpeg(_synth_image_array(i), 90),
+                    "image/jpeg")
         return "image", encode_bmp(_synth_image_array(i)), "image/bmp"
     if m == 2:
         samples, rate = _synth_audio_array(i)

@@ -1,0 +1,104 @@
+"""Baseline JPEG codec (lacspark.jpeg): round-trip fidelity, stream
+structure, and the multimodal integration path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lacspark.jpeg import ZZ, decode_jpeg, encode_jpeg
+
+
+def _gradient(h, w):
+    base = (np.arange(h)[:, None] * 3 + np.arange(w)[None, :] * 2) % 256
+    return np.stack([base, (base * 2) % 256, 255 - base],
+                    axis=-1).astype(np.uint8)
+
+
+def test_zigzag_is_a_permutation():
+    assert sorted(ZZ.tolist()) == list(range(64))
+    # canonical start of the zigzag scan
+    assert ZZ[:6].tolist() == [0, 1, 8, 16, 9, 2]
+
+
+def test_roundtrip_fidelity_on_smooth_image():
+    img = _gradient(40, 56)
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    err = np.abs(out.astype(float) - img.astype(float)).mean()
+    assert err < 4.0, err
+
+
+def test_roundtrip_non_multiple_of_8_and_noise():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (17, 23, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert out.shape == img.shape
+    # noise is JPEG's worst case; q90 still bounds the error
+    assert np.abs(out.astype(float) - img.astype(float)).mean() < 12.0
+
+
+def test_flat_image_is_lossless():
+    img = (np.ones((8, 8, 3)) * 128).astype(np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(img, 75)), img)
+
+
+def test_grayscale_input_replicates_channels():
+    gray = (np.arange(64).reshape(8, 8) * 4).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(gray, quality=95))
+    assert out.shape == (8, 8, 3)
+    assert np.abs(out[:, :, 0].astype(float)
+                  - out[:, :, 1].astype(float)).max() <= 2
+
+
+def test_quality_monotonic_in_size_and_error():
+    img = _gradient(48, 48)
+    sizes, errs = [], []
+    for q in (95, 75, 40):
+        enc = encode_jpeg(img, q)
+        sizes.append(len(enc))
+        errs.append(np.abs(decode_jpeg(enc).astype(float)
+                           - img.astype(float)).mean())
+    assert sizes[0] > sizes[1] > sizes[2]
+    assert errs[0] < errs[1] < errs[2]
+
+
+def test_stream_structure_markers():
+    enc = encode_jpeg(_gradient(16, 16), 90)
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+        assert marker in enc, marker
+
+
+def test_decode_rejects_non_jpeg_and_progressive():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg at all")
+    # flip SOF0 -> SOF2 (progressive): must refuse, not mis-decode
+    enc = bytearray(encode_jpeg(_gradient(8, 8), 90))
+    idx = bytes(enc).index(b"\xff\xc0")
+    enc[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(enc))
+
+
+def test_decode_image_routes_jpeg():
+    from lacspark.spark.multimodal import decode_image
+
+    img = _gradient(24, 24)
+    out = decode_image(encode_jpeg(img, 90))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(float) - img.astype(float)).mean() < 4.0
+
+
+def test_synth_corpus_contains_jpeg_and_decodes():
+    from lacspark.spark.multimodal import (media_decode_row,
+                                           synth_media_payload)
+
+    fmts = set()
+    for i in range(120):
+        kind, payload, fmt = synth_media_payload(i)
+        fmts.add(fmt)
+        if fmt == "image/jpeg":
+            w, h, f0, f1, f2, f3 = media_decode_row(kind, payload)
+            assert w > 0 and h > 0
+    assert "image/jpeg" in fmts and "image/bmp" in fmts

@@ -30,9 +30,13 @@ def test_multimodal_feature_plumbing(spark):
 
 
 def test_decode_raises_only_for_codec_needing_formats():
-    # JPEG genuinely needs an external codec; PNG/BMP do not
-    with pytest.raises(NotImplementedError):
+    # JPEG now decodes via the in-repo baseline codec (a truncated
+    # stream is a ValueError, not a missing-codec raise); formats the
+    # repo has no codec for still refuse honestly
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff" + b"\x00" * 16)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"II*\x00" + b"\x00" * 16)  # TIFF
 
 
 def test_stdlib_codecs_roundtrip():

@@ -32,8 +32,12 @@ class LAC:
         self.engine = LacEngine()
         # model_path ≙ the reference's retrained-model dir: weights
         # saved by LAC.train / LacEngine.train load over the packaged
-        # dictionaries (models.py:209 load_model).
+        # dictionaries (models.py:209 load_model).  A PADDLE-layout
+        # dir (the published downloaded model: word_emb + crfw files,
+        # no npz) routes through the import adapter instead — the
+        # reference's own model dirs are drop-in here too.
         if model_path:
+            loaded = False
             for fname, net in (("lac_weights.npz", self.engine.lac_net),
                                ("seg_weights.npz", self.engine.seg_net)):
                 p = os.path.join(model_path, fname)
@@ -43,6 +47,31 @@ class LAC:
                     if hasattr(net, "_stacks"):
                         del net._stacks
                     net.refresh_crf()
+                    loaded = True
+            if not loaded and                     os.path.exists(os.path.join(model_path, "word_emb")):
+                from .paddle_import import (load_paddle_params,
+                                            paddle_params_to_weights)
+                net = self.engine.seg_net if mode == "seg"                     else self.engine.lac_net
+                w = paddle_params_to_weights(
+                    load_paddle_params(model_path))
+                if w["crf_trans"].shape[0] != \
+                        net._trans_mask.shape[0]:
+                    raise ValueError(
+                        f"imported model has "
+                        f"{w['crf_trans'].shape[0]} labels but the "
+                        f"packaged tag scheme has "
+                        f"{net._trans_mask.shape[0]} — a retrained "
+                        f"label set needs its matching tag.dic")
+                rank_keys = {k: v for k, v in net.w.items()
+                             if k.startswith(("tag_emb", "r0_", "rank_"))}
+                net.w = {**{k: np.asarray(v, dtype=np.float32)
+                            for k, v in w.items()}, **rank_keys}
+                if hasattr(net, "_stacks"):
+                    del net._stacks
+                net.n_layers = max(int(k[1]) for k in net.w
+                                   if k.startswith("l")) + 1
+                net.n_labels = net.w["fc_b"].shape[0]
+                net.refresh_crf()
 
     # ------------------------------------------------------------------
     def run(self, texts):

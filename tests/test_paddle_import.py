@@ -93,3 +93,35 @@ def test_import_rejects_non_lac_dirs(tmp_path):
         write_paddle_tensor(np.zeros(3, dtype=np.float32)))
     with pytest.raises(ValueError, match="word_emb"):
         paddle_params_to_weights(load_paddle_params(str(d)))
+
+
+def test_lac_facade_loads_paddle_model_dir(native, tmp_path):
+    """Reference parity: LAC(model_path=<paddle dir>) — the published
+    downloaded model dir drops into the facade exactly like it drops
+    into the reference's LAC(model_path=...) (lac.py:55-67)."""
+    from lacspark.lac import LAC
+
+    model_dir = tmp_path / "m"
+    save_paddle_dir(native.w, str(model_dir))
+    ref = LAC(mode="lac")
+    imported = LAC(model_path=str(model_dir), mode="lac")
+    texts = ["the fast key table scan", "alpha beta gamma", ""]
+    assert imported.run(texts) == ref.run(texts)
+    # rank head (a native extension) survives the import
+    assert imported.engine.lac_net.has_rank
+
+
+def test_lac_facade_rejects_label_mismatch(native, tmp_path):
+    from lacspark.lac import LAC
+
+    w = dict(native.w)
+    n = w["crf_trans"].shape[0] + 1
+    w["crf_trans"] = np.zeros((n, n), dtype=np.float32)
+    w["crf_start"] = np.zeros(n, dtype=np.float32)
+    w["crf_stop"] = np.zeros(n, dtype=np.float32)
+    w["fc_w"] = np.zeros((w["fc_w"].shape[0], n), dtype=np.float32)
+    w["fc_b"] = np.zeros(n, dtype=np.float32)
+    model_dir = tmp_path / "bad"
+    save_paddle_dir(w, str(model_dir))
+    with pytest.raises(ValueError, match="tag.dic"):
+        LAC(model_path=str(model_dir), mode="lac")

@@ -85,6 +85,7 @@ _FRESH = [
     "dedup_near_components",     # r5: shares the re-keyed pair slot
     "pack_sequences_bpe",        # r5: cache key gained plan digest
     "multimodal_decode_stats",   # r5: JPEG payloads joined the corpus
+    "ann_pq_topk",               # r5: NEW — product-quantization ANN
 ]
 
 

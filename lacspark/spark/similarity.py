@@ -399,3 +399,212 @@ def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
             .filter(F.col("rnk") <= k)
             .select("query_id", "neighbor_id", "rnk",
                     F.round("cosine", 6).alias("cosine")))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-domain ANN path
+# ---------------------------------------------------------------------------
+
+def _unrolled_l2(sub_expr: str, cent_var: str, ds: int) -> str:
+    """Squared L2 between two ds-dim arrays, UNROLLED with fixed
+    left-associative addition order — the same float op sequence in
+    Spark and DuckDB, so argmin ties can't flip between engines."""
+    terms = [f"(element_at({sub_expr}, {j + 1}) - "
+             f"element_at({cent_var}, {j + 1})) * "
+             f"(element_at({sub_expr}, {j + 1}) - "
+             f"element_at({cent_var}, {j + 1}))" for j in range(ds)]
+    return " + ".join(terms)
+
+
+def _with_unit(df: DataFrame, id_col: str, vec_col: str,
+               out_id: str) -> DataFrame:
+    """(out_id, __u): L2-normalized double vector — PQ quantizes the
+    normalized corpus so ADC sums approximate cosine directly."""
+    d = _with_norm(df, id_col, vec_col, out_id)
+    return d.select(
+        out_id,
+        F.expr(f"transform({out_id}_vec, x -> x / {out_id}_norm)")
+        .alias("__u"))
+
+
+def pq_codebooks(corpus: DataFrame, id_col: str, vec_col: str,
+                 dim: int, m: int = 8, k: int = 16, iters: int = 2,
+                 memo_key=None
+                 ) -> list[tuple[list[int], list[list[float]]]]:
+    """M independent DETERMINISTIC k-means codebooks over the
+    subvectors of the L2-normalized corpus — the classic product
+    quantizer (Jégou et al. 2011, "Product quantization for nearest
+    neighbor search"), every nondeterminism pinned the same way as
+    :func:`kmeans_codebook`:
+
+    * seeds: the k vectors with the smallest (md5(id), id), shared
+      by every subspace (one driver collect total); centroid id =
+      rank in that order;
+    * assignment: UNROLLED squared-L2 argmin against the codebook
+      literal — fixed left-associative float order, so the argmin
+      and its tie-break (lowest centroid id; the literal list is
+      kept id-sorted) are bit-identical in any engine;
+    * update: scaled-integer (1e-6 grid) means; a centroid whose
+      cell empties drops out on both sides (ORIGINAL ids are
+      tracked, never re-densified, so the oracle's group-by-code
+      replay can't skew);
+    * fixed ``iters``, no convergence test.
+
+    Returns per-subspace (ids, centroids).  Scale shape per
+    iteration: ONE projection computes all M subspace assignments
+    (codebooks ride as literals ≙ broadcast), a subspace-explode
+    emits (m, code, subvec) rows, and ONE constant-size aggregate
+    (m × k groups × ds sum columns) updates every codebook — 2 jobs
+    per iteration regardless of M, no per-subspace passes."""
+    ds = dim // m
+    if memo_key is not None:
+        kk = ("pq", _memo_fingerprint(memo_key), id_col, vec_col,
+              dim, m, k, iters)
+        if kk in _CODEBOOK_MEMO:
+            return _CODEBOOK_MEMO[kk]
+    u = _with_unit(corpus, id_col, vec_col, "p")
+    seeds = (u.join(corpus.select(F.col(id_col).alias("p"),
+                                  F.md5(F.col(id_col).cast("string"))
+                                  .alias("__h")), "p")
+             .orderBy("__h", "p").limit(k).collect())
+    books = [(list(range(len(seeds))),
+              [[float(x) for x in r["__u"][mi * ds:(mi + 1) * ds]]
+               for r in seeds]) for mi in range(m)]
+    for _ in range(iters):
+        assigned = _pq_assign(u, books, ds)
+        # one explode → one aggregate updates ALL M codebooks
+        rows_expr = F.array(*[
+            F.struct(F.lit(mi).alias("m"),
+                     F.col(f"code_{mi}").alias("code"),
+                     F.expr(f"slice(__u, {mi * ds + 1}, {ds})")
+                     .alias("sub"))
+            for mi in range(len(books))])
+        exploded = assigned.select(
+            F.explode(rows_expr).alias("r")).select("r.*")
+        sums = [F.sum(F.expr(
+            f"cast(round(element_at(sub, {j + 1}) * 1000000, 0) "
+            f"as bigint)")).alias(f"__s{j}") for j in range(ds)]
+        cent = [F.expr(
+            f"cast((case when __s{j} >= 0 "
+            f"then (2 * __s{j} + __n) div (2 * __n) "
+            f"else -((2 * (-__s{j}) + __n) div (2 * __n)) end) "
+            f"as double) / 1000000.0").alias(f"__c{j}")
+            for j in range(ds)]
+        got = (exploded.groupBy("m", "code")
+               .agg(*sums, F.count(F.lit(1)).alias("__n"))
+               .select("m", "code", *cent).collect())
+        for mi in range(len(books)):
+            rows = sorted((r for r in got if r["m"] == mi),
+                          key=lambda r: r["code"])
+            books[mi] = ([int(r["code"]) for r in rows],
+                         [[float(r[f"__c{j}"]) for j in range(ds)]
+                          for r in rows])
+    if memo_key is not None:
+        _CODEBOOK_MEMO[kk] = books
+    return books
+
+
+def _pq_assign(u: DataFrame, books, ds: int) -> DataFrame:
+    """Append code_0..code_{M-1} (ORIGINAL centroid ids) to a
+    (…, __u) frame — pure projection, codebooks as literals."""
+    out = u
+    for mi, (ids, cents) in enumerate(books):
+        out = out.withColumn(f"__cb{mi}", F.lit(cents))
+        out = out.withColumn(f"__ids{mi}",
+                             F.lit([int(i) for i in ids]))
+        sub = f"slice(__u, {mi * ds + 1}, {ds})"
+        out = out.withColumn(
+            f"__d{mi}", F.expr(f"transform(__cb{mi}, c -> "
+                               f"{_unrolled_l2(sub, 'c', ds)})"))
+        out = out.withColumn(
+            f"code_{mi}",
+            F.expr(f"element_at(__ids{mi}, cast(array_position("
+                   f"__d{mi}, array_min(__d{mi})) as int))"))
+    drops = [c for mi in range(len(books))
+             for c in (f"__cb{mi}", f"__ids{mi}", f"__d{mi}")]
+    return out.drop(*drops)
+
+
+def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
+              books, dim: int) -> DataFrame:
+    """(id, code_0..code_{M-1}): the one-small-int-per-subspace
+    compressed form — at 10^12 vectors this table is ~60× smaller
+    than the raw vectors and is the ONLY thing the ADC scan reads.
+    Pure projection, zero shuffle (codebooks are literals)."""
+    m = len(books)
+    ds = dim // m
+    u = _with_unit(corpus, id_col, vec_col, "neighbor_id")
+    return _pq_assign(u, books, ds).select(
+        "neighbor_id", *[f"code_{mi}" for mi in range(m)])
+
+
+def pq_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
+            vec_col: str, dim: int, k: int = 5, m: int = 8,
+            n_cents: int = 32, iters: int = 2, rerank: int = 100,
+            memo_key=None) -> DataFrame:
+    """PQ-ADC approximate top-k with exact re-rank — the
+    compressed-domain scale path: score every corpus CODE row
+    (M small-int columns) against each query by summing
+    per-subspace centroid dot products (asymmetric distance
+    computation), shortlist the top ``rerank`` by ADC, then join the
+    real vectors for the shortlist only and re-rank by exact cosine.
+
+    At 10^12 vectors the ADC scan reads the code table (~16 bytes a
+    row) instead of 512-byte vectors, codebooks are broadcast
+    literals, and exact vectors are fetched for rerank×queries rows
+    only.  Composes with IVF (filter the code table to the probed
+    lists first) — kept orthogonal here so each mechanism has its
+    own oracle.  Measured on the near-uniform synthetic embeddings
+    (PQ's worst case — no cluster structure for 8-dim×32-centroid
+    cells to exploit): recall@5 = 0.72-0.90 across fixtures at the
+    shipped M=8/K=32/rerank=100.  Returns
+    (query_id, neighbor_id, rnk, cosine)."""
+    ds = dim // m
+    books = pq_codebooks(corpus, id_col, vec_col, dim, m=m,
+                         k=n_cents, iters=iters, memo_key=memo_key)
+    codes = pq_encode(corpus, id_col, vec_col, books, dim)
+    q = _with_unit(queries, id_col, vec_col, "query_id")
+    pairs = q.crossJoin(codes) \
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    # reconstruct the quantized vector: per subspace, ONE 32-entry
+    # array_position + element_at pulls the centroid array, and the
+    # 8 arrays concat into the 64-double approximation — the ADC is
+    # then a single zip_with/aggregate fold, the same codegen-tight
+    # dot every other scorer here uses (and the same sequential
+    # summation DuckDB's list_dot_product applies, bit-exact — the
+    # r1-verified equivalence the exact cosine already rides on).
+    # An earlier 64-term unrolled formulation fell out of codegen
+    # into interpreted evaluation and cost 8 s at sf0.1; this runs
+    # the identical scan in ~1 s.
+    for mi, (ids, cents) in enumerate(books):
+        pairs = (pairs.withColumn(f"__cb{mi}", F.lit(cents))
+                 .withColumn(f"__ids{mi}",
+                             F.lit([int(i) for i in ids]))
+                 .withColumn(f"__c{mi}", F.expr(
+                     f"element_at(__cb{mi}, cast(array_position("
+                     f"__ids{mi}, code_{mi}) as int))"))
+                 .drop(f"__cb{mi}", f"__ids{mi}"))
+    approx = "concat(" + ", ".join(f"__c{mi}" for mi in range(m)) + ")"
+    pairs = (pairs.withColumn("__approx", F.expr(approx))
+             .withColumn("__adc", F.expr(
+                 _DOT.format(a="__u", b="__approx")))
+             .select("query_id", "neighbor_id", "__adc"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("__adc"),
+                                               F.asc("neighbor_id"))
+    short = (pairs.withColumn("__r", F.row_number().over(w))
+             .filter(F.col("__r") <= rerank)
+             .select("query_id", "neighbor_id"))
+    qv = _with_norm(queries, id_col, vec_col, "query_id")
+    nv = _with_norm(corpus, id_col, vec_col, "neighbor_id")
+    exact = (short.join(qv, "query_id").join(nv, "neighbor_id")
+             .withColumn("cosine",
+                         F.expr(_DOT.format(a="query_id_vec",
+                                            b="neighbor_id_vec"))
+                         / (F.col("query_id_norm")
+                            * F.col("neighbor_id_norm"))))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                                F.asc("neighbor_id"))
+    return (exact.withColumn("rnk", F.row_number().over(w2))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "rnk",
+                    F.round("cosine", 6).alias("cosine")))

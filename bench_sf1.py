@@ -38,7 +38,7 @@ QUERIES = [
     "dedup_minhash_lsh", "dedup_near_keep_best", "dedup_near_components",
     "dedup_substring_spans", "dedup_substring_clean",
     "dedup_embedding_cosine", "dedup_embedding_keep_best",
-    "ann_lsh_topk", "ann_ivf_lists", "ann_ivf_topk",
+    "ann_lsh_topk", "ann_ivf_lists", "ann_ivf_topk", "ann_pq_topk",
     "token_minhash_canonical",
 ]
 

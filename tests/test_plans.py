@@ -156,3 +156,18 @@ def test_lm_score_broadcasts_and_single_shuffle(spark):
     assert plan.count("broadcasthashjoin") == 2
     assert "sortmergejoin" not in plan
     assert plan.count("hashpartitioning") == 1
+
+
+def test_pq_encode_is_pure_projection(spark):
+    """PQ corpus encoding (the compressed form the ADC scan reads)
+    must be a zero-shuffle projection — codebooks ride as literals
+    (≙ broadcast), assignments are per-row argmins."""
+    from lacspark.spark.similarity import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = pq_codebooks(emb, "vec_id", "embedding", 64,
+                         m=8, k=32, iters=2, memo_key=SF)
+    plan = plan_of(pq_encode(emb, "vec_id", "embedding",
+                             books, 64)).lower()
+    assert "hashpartitioning" not in plan
+    assert "python" not in plan  # all JVM-side expressions

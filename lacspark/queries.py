@@ -2071,15 +2071,17 @@ def _pq_oracle_ctes() -> str:
     for mi in range(m):
         cjoins.append(f"join c{mi}_{_PQ_ITERS} cc{mi} "
                       f"on cc{mi}.code = n.code_{mi}")
-    # the Spark side folds one concatenated 64-double approximation
-    # through the same sequential dot DuckDB's list_dot_product
-    # applies (bit-exact; the exact-cosine comparisons already ride
-    # this equivalence)
-    approx = " || ".join(f"cc{mi}.cv" for mi in range(m))
+    # mirror the Spark LUT form: per-subspace sequential dots
+    # (list_dot_product ≡ Spark's in-order zip_with/aggregate fold —
+    # the bit-exact equivalence the exact cosine already rides),
+    # summed left-associatively across the M subspaces
+    adc_terms = " + ".join(
+        f"list_dot_product(q.uu[{mi * ds + 1}:{mi * ds + ds}], "
+        f"cc{mi}.cv)" for mi in range(m))
     sql += f""",
     adc as (
         select q.vec_id as query_id, n.vec_id as neighbor_id,
-               list_dot_product(q.uu, {approx}) as adc
+               {adc_terms} as adc
         from (select vec_id, uu from u where vec_id < 50) q
         cross join codes n
         {" ".join(cjoins)}

@@ -563,31 +563,54 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
     books = pq_codebooks(corpus, id_col, vec_col, dim, m=m,
                          k=n_cents, iters=iters, memo_key=memo_key)
     codes = pq_encode(corpus, id_col, vec_col, books, dim)
+    # Textbook ADC: per QUERY, precompute the lookup table
+    # lut[m][cell] = dot(q_m, centroid) — 8×32 small folds on 50ish
+    # query rows — so each of the query×corpus PAIRS costs just 8
+    # lut lookups + 7 adds.  (Two rejected formulations: a per-pair
+    # 64-element zip_with/aggregate fold — Spark evaluates
+    # higher-order functions INTERPRETED, ~10 s at sf0.1 for 100k
+    # pairs — and a per-pair unrolled 64-term expression, which fell
+    # out of whole-stage codegen.  The LUT form is also the shape
+    # that scales: per-query work is O(M·K), per-pair work O(M).)
+    # Float order: adc = left-assoc sum of the M per-subspace dots,
+    # each an in-order fold from 0.0 — exactly DuckDB's
+    # ldp(q[1:8], cv0) + ldp(q[9:16], cv1) + …, the bit-exact
+    # equivalence the exact-cosine comparisons already ride.
+    #
+    # Join orientation is the 10^12-row one: the CODE table streams
+    # (it is the big side at scale and arrives partitioned) and the
+    # small query set broadcasts.  The LUT frame is localCheckpointed
+    # — queries are small by contract — because a single-use
+    # projected column gets INLINED into its consumer by
+    # CollapseProject (the explode_once trap): without the barrier
+    # the whole 32-centroid LUT transform re-evaluated per PAIR row
+    # (~200M interpreted lambda calls, 2× the query's cost).
+    from .tagger import ensure_parallelism
+
     q = _with_unit(queries, id_col, vec_col, "query_id")
-    pairs = q.crossJoin(codes) \
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-    # reconstruct the quantized vector: per subspace, ONE 32-entry
-    # array_position + element_at pulls the centroid array, and the
-    # 8 arrays concat into the 64-double approximation — the ADC is
-    # then a single zip_with/aggregate fold, the same codegen-tight
-    # dot every other scorer here uses (and the same sequential
-    # summation DuckDB's list_dot_product applies, bit-exact — the
-    # r1-verified equivalence the exact cosine already rides on).
-    # An earlier 64-term unrolled formulation fell out of codegen
-    # into interpreted evaluation and cost 8 s at sf0.1; this runs
-    # the identical scan in ~1 s.
     for mi, (ids, cents) in enumerate(books):
-        pairs = (pairs.withColumn(f"__cb{mi}", F.lit(cents))
-                 .withColumn(f"__ids{mi}",
-                             F.lit([int(i) for i in ids]))
-                 .withColumn(f"__c{mi}", F.expr(
-                     f"element_at(__cb{mi}, cast(array_position("
-                     f"__ids{mi}, code_{mi}) as int))"))
-                 .drop(f"__cb{mi}", f"__ids{mi}"))
-    approx = "concat(" + ", ".join(f"__c{mi}" for mi in range(m)) + ")"
-    pairs = (pairs.withColumn("__approx", F.expr(approx))
-             .withColumn("__adc", F.expr(
-                 _DOT.format(a="__u", b="__approx")))
+        sub = f"slice(__u, {mi * ds + 1}, {ds})"
+        q = (q.withColumn(f"__cb{mi}", F.lit(cents))
+             .withColumn(f"__lut{mi}", F.expr(
+                 f"transform(__cb{mi}, c -> "
+                 + _DOT.format(a=sub, b="c") + ")"))
+             .drop(f"__cb{mi}"))
+    q = q.drop("__u").localCheckpoint()
+    # position of each ORIGINAL centroid id in the id-sorted
+    # codebook, computed once per CORPUS row (not per pair)
+    codes = ensure_parallelism(codes)
+    for mi, (ids, cents) in enumerate(books):
+        codes = (codes.withColumn(f"__ids{mi}",
+                                  F.lit([int(i) for i in ids]))
+                 .withColumn(f"__pos{mi}", F.expr(
+                     f"cast(array_position(__ids{mi}, code_{mi}) "
+                     f"as int)"))
+                 .drop(f"__ids{mi}", f"code_{mi}"))
+    adc = " + ".join(f"element_at(__lut{mi}, __pos{mi})"
+                     for mi in range(m))
+    pairs = (codes.crossJoin(F.broadcast(q))
+             .filter(F.col("neighbor_id") != F.col("query_id"))
+             .withColumn("__adc", F.expr(adc))
              .select("query_id", "neighbor_id", "__adc"))
     w = Window.partitionBy("query_id").orderBy(F.desc("__adc"),
                                                F.asc("neighbor_id"))

@@ -493,36 +493,72 @@ def pq_codebooks(corpus: DataFrame, id_col: str, vec_col: str,
         got = (exploded.groupBy("m", "code")
                .agg(*sums, F.count(F.lit(1)).alias("__n"))
                .select("m", "code", *cent).collect())
-        for mi in range(len(books)):
-            rows = sorted((r for r in got if r["m"] == mi),
-                          key=lambda r: r["code"])
-            books[mi] = ([int(r["code"]) for r in rows],
-                         [[float(r[f"__c{j}"]) for j in range(ds)]
-                          for r in rows])
+        # a FRESH list every iteration — the literal-Column cache
+        # (_pq_lits) keys on the books object's identity, so in-place
+        # mutation would silently serve the previous iteration's
+        # codebook literals
+        books = [
+            ([int(r["code"]) for r in rows],
+             [[float(r[f"__c{j}"]) for j in range(ds)] for r in rows])
+            for rows in (
+                sorted((r for r in got if r["m"] == mi),
+                       key=lambda r: r["code"])
+                for mi in range(len(books)))]
     if memo_key is not None:
         _CODEBOOK_MEMO[kk] = books
     return books
 
 
+# literal-Column cache for the PQ codebooks: building the nested
+# F.lit(32×8) Columns costs ~1.2 s of py4j round trips and the query
+# assembles them three times per invocation; the memoized ``books``
+# object is stable across invocations, so the Columns are too.
+# Single slot, keyed on the books object identity + application id
+# (a restarted JVM invalidates the cached JavaObjects).
+_PQ_LIT_CACHE: dict = {}
+
+
+def _pq_lits(books, spark) -> tuple[list, list]:
+    app = spark.sparkContext.applicationId
+    slot = _PQ_LIT_CACHE.get("slot")
+    if slot is not None and slot[0] is books and slot[1] == app:
+        return slot[2], slot[3]
+    cent_lits = [F.lit(cents) for _, cents in books]
+    id_lits = [F.lit([int(i) for i in ids]) for ids, _ in books]
+    _PQ_LIT_CACHE["slot"] = (books, app, cent_lits, id_lits)
+    return cent_lits, id_lits
+
+
 def _pq_assign(u: DataFrame, books, ds: int) -> DataFrame:
     """Append code_0..code_{M-1} (ORIGINAL centroid ids) to a
-    (…, __u) frame — pure projection, codebooks as literals."""
-    out = u
-    for mi, (ids, cents) in enumerate(books):
-        out = out.withColumn(f"__cb{mi}", F.lit(cents))
-        out = out.withColumn(f"__ids{mi}",
-                             F.lit([int(i) for i in ids]))
-        sub = f"slice(__u, {mi * ds + 1}, {ds})"
-        out = out.withColumn(
-            f"__d{mi}", F.expr(f"transform(__cb{mi}, c -> "
-                               f"{_unrolled_l2(sub, 'c', ds)})"))
-        out = out.withColumn(
-            f"code_{mi}",
-            F.expr(f"element_at(__ids{mi}, cast(array_position("
-                   f"__d{mi}, array_min(__d{mi})) as int))"))
-    drops = [c for mi in range(len(books))
-             for c in (f"__cb{mi}", f"__ids{mi}", f"__d{mi}")]
-    return out.drop(*drops)
+    (…, __u) frame — pure projection, codebooks as literals.  Built
+    as TWO batched selects, not chained withColumns: every
+    withColumn re-analyzes the whole literal-heavy plan on the
+    driver, and 3 columns × 8 subspaces of that measured ~2.5 s of
+    pure plan-construction time per invocation at M=8/K=32."""
+    def l2(sub, c):
+        d = F.zip_with(sub, c, lambda x, y: (x - y) * (x - y))
+        return F.aggregate(d, F.lit(0.0), lambda a, v: a + v)
+
+    def l2_against(sub):
+        return lambda c: l2(sub, c)
+
+    cent_lits, id_lits = _pq_lits(books, u.sparkSession)
+    dist_cols = []
+    for mi in range(len(books)):
+        sub = F.slice("__u", mi * ds + 1, ds)
+        dist_cols.append(
+            F.transform(cent_lits[mi], l2_against(sub))
+            .alias(f"__d{mi}"))
+    mid = u.select("*", *dist_cols)
+    code_cols = [
+        F.element_at(
+            id_lits[mi],
+            F.array_position(F.col(f"__d{mi}"),
+                             F.array_min(f"__d{mi}")).cast("int"))
+        .alias(f"code_{mi}")
+        for mi in range(len(books))]
+    return mid.select(*[c for c in u.columns], *code_cols)
 
 
 def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
@@ -587,25 +623,29 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
     # (~200M interpreted lambda calls, 2× the query's cost).
     from .tagger import ensure_parallelism
 
-    q = _with_unit(queries, id_col, vec_col, "query_id")
-    for mi, (ids, cents) in enumerate(books):
-        sub = f"slice(__u, {mi * ds + 1}, {ds})"
-        q = (q.withColumn(f"__cb{mi}", F.lit(cents))
-             .withColumn(f"__lut{mi}", F.expr(
-                 f"transform(__cb{mi}, c -> "
-                 + _DOT.format(a=sub, b="c") + ")"))
-             .drop(f"__cb{mi}"))
-    q = q.drop("__u").localCheckpoint()
+    def dot(sub, c):
+        return F.aggregate(F.zip_with(sub, c, lambda x, y: x * y),
+                           F.lit(0.0), lambda a, v: a + v)
+
+    def dot_against(sub):
+        return lambda c: dot(sub, c)
+
+    cent_lits, id_lits = _pq_lits(books, queries.sparkSession)
+    lut_cols = [
+        F.transform(cent_lits[mi],
+                    dot_against(F.slice("__u", mi * ds + 1, ds)))
+        .alias(f"__lut{mi}")
+        for mi in range(m)]
+    q = _with_unit(queries, id_col, vec_col, "query_id") \
+        .select("query_id", *lut_cols).localCheckpoint()
     # position of each ORIGINAL centroid id in the id-sorted
     # codebook, computed once per CORPUS row (not per pair)
-    codes = ensure_parallelism(codes)
-    for mi, (ids, cents) in enumerate(books):
-        codes = (codes.withColumn(f"__ids{mi}",
-                                  F.lit([int(i) for i in ids]))
-                 .withColumn(f"__pos{mi}", F.expr(
-                     f"cast(array_position(__ids{mi}, code_{mi}) "
-                     f"as int)"))
-                 .drop(f"__ids{mi}", f"code_{mi}"))
+    pos_cols = [
+        F.array_position(id_lits[mi],
+                         F.col(f"code_{mi}")).cast("int")
+        .alias(f"__pos{mi}")
+        for mi in range(m)]
+    codes = ensure_parallelism(codes).select("neighbor_id", *pos_cols)
     adc = " + ".join(f"element_at(__lut{mi}, __pos{mi})"
                      for mi in range(m))
     pairs = (codes.crossJoin(F.broadcast(q))

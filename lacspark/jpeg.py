@@ -163,10 +163,27 @@ def _blocks(plane: np.ndarray) -> np.ndarray:
             .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
-    """HxWx3 (or HxW grayscale) uint8 → baseline JFIF bytes, 4:4:4."""
+def _plane_blocks(plane: np.ndarray, q: np.ndarray, bh: int,
+                  bw_: int) -> np.ndarray:
+    """Level-shift, 2-D DCT, quantize, zigzag every 8×8 block of a
+    padded plane → [bh, bw, 64] int32 in block-grid order."""
+    blocks = _blocks(plane - 128.0)
+    coefs = np.einsum("kn,bnm,lm->bkl", _C, blocks, _C)
+    quant = np.round(coefs / q).astype(np.int32)
+    return quant.reshape(bh, bw_, 64)[:, :, ZZ]
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90,
+                subsampling: str = "444") -> bytes:
+    """HxWx3 (or HxW grayscale) uint8 → baseline JFIF bytes.
+
+    ``subsampling``: "444" (one block per component per MCU) or
+    "420" (2×2 luma blocks per 16×16 MCU, chroma box-filtered 2:1
+    in both axes — the common real-world JPEG layout)."""
     if img.ndim == 2:
         img = np.stack([img] * 3, axis=-1)
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     h, w = img.shape[:2]
     r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
     y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -174,15 +191,31 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
     qt = [_scaled_quant(QUANT_LUMA, quality),
           _scaled_quant(QUANT_CHROMA, quality)]
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    comps = []
-    for ci, plane in enumerate((y, cb, cr)):
-        padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
-        blocks = _blocks(padded - 128.0)
-        coefs = np.einsum("kn,bnm,lm->bkl", _C, blocks, _C)
-        q = qt[0 if ci == 0 else 1]
-        quant = np.round(coefs / q).astype(np.int32)
-        comps.append(quant.reshape(-1, 64)[:, ZZ])  # zigzag per block
+    luma_hv = (1, 1) if subsampling == "444" else (2, 2)
+    hmax, vmax = luma_hv
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # luma padded to the MCU grid; chroma box-filtered then padded
+    ph, pw = mcuy * vmax * 8, mcux * hmax * 8
+    y_p = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge")
+    if subsampling == "420":
+        def down(p):
+            pp = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+            return (pp[0::2, 0::2] + pp[0::2, 1::2]
+                    + pp[1::2, 0::2] + pp[1::2, 1::2]) / 4.0
+        cb, cr = down(cb), down(cr)
+    ch, cw = cb.shape
+    cb_p = np.pad(cb, ((0, mcuy * 8 - ch), (0, mcux * 8 - cw)),
+                  mode="edge")
+    cr_p = np.pad(cr, ((0, mcuy * 8 - ch), (0, mcux * 8 - cw)),
+                  mode="edge")
+    # (block grid, sampling h, sampling v, quant/huff table index)
+    planes = [
+        (_plane_blocks(y_p, qt[0], mcuy * vmax, mcux * hmax),
+         hmax, vmax, 0),
+        (_plane_blocks(cb_p, qt[1], mcuy, mcux), 1, 1, 1),
+        (_plane_blocks(cr_p, qt[1], mcuy, mcux), 1, 1, 1),
+    ]
 
     dc_tabs = [_huff_codes(DC_LUMA_BITS, DC_LUMA_VALS),
                _huff_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
@@ -190,38 +223,14 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
                _huff_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
     bw = _BitWriter()
     pred = [0, 0, 0]
-    n_blocks = comps[0].shape[0]
-    for bi in range(n_blocks):          # 4:4:4 MCU = 1 block/component
-        for ci in range(3):
-            zz = comps[ci][bi]
-            ti = 0 if ci == 0 else 1
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            t = _category(diff)
-            code, ln = dc_tabs[ti][t]
-            bw.write(code, ln)
-            if t:
-                bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
-            run = 0
-            nz = np.flatnonzero(zz[1:])
-            last = nz[-1] + 1 if nz.size else 0
-            for k in range(1, last + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_tabs[ti][0xF0]   # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                t = _category(v)
-                code, ln = ac_tabs[ti][(run << 4) | t]
-                bw.write(code, ln)
-                bw.write(v if v > 0 else v + (1 << t) - 1, t)
-                run = 0
-            if last < 63:
-                code, ln = ac_tabs[ti][0x00]       # EOB
-                bw.write(code, ln)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (grid, hi, vi, ti) in enumerate(planes):
+                for by in range(vi):
+                    for bx in range(hi):
+                        zz = grid[my * vi + by, mx * hi + bx]
+                        _encode_block(bw, zz, ci, ti, pred,
+                                      dc_tabs, ac_tabs)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -232,8 +241,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
         out += seg(0xFFDB, bytes([ti]) +
                    bytes(int(v) for v in q.reshape(-1)[ZZ]))
     sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid in range(3):                               # SOF0, 4:4:4
-        sof += bytes([cid + 1, 0x11, 0 if cid == 0 else 1])
+    for cid, (grid, hi, vi, ti) in enumerate(planes):  # SOF0
+        sof += bytes([cid + 1, (hi << 4) | vi, ti])
     out += seg(0xFFC0, sof)
     for tc, th, bits, vals in ((0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
                                (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
@@ -250,6 +259,37 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     out += bw.flush()
     out += b"\xff\xd9"                                 # EOI
     return bytes(out)
+
+
+def _encode_block(bw: "_BitWriter", zz: np.ndarray, ci: int, ti: int,
+                  pred: list[int], dc_tabs, ac_tabs) -> None:
+    diff = int(zz[0]) - pred[ci]
+    pred[ci] = int(zz[0])
+    t = _category(diff)
+    code, ln = dc_tabs[ti][t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    run = 0
+    nz = np.flatnonzero(zz[1:])
+    last = nz[-1] + 1 if nz.size else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tabs[ti][0xF0]   # ZRL
+            bw.write(code, ln)
+            run -= 16
+        t = _category(v)
+        code, ln = ac_tabs[ti][(run << 4) | t]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << t) - 1, t)
+        run = 0
+    if last < 63:
+        code, ln = ac_tabs[ti][0x00]       # EOB
+        bw.write(code, ln)
 
 
 class _BitReader:

@@ -102,3 +102,33 @@ def test_synth_corpus_contains_jpeg_and_decodes():
             w, h, f0, f1, f2, f3 = media_decode_row(kind, payload)
             assert w > 0 and h > 0
     assert "image/jpeg" in fmts and "image/bmp" in fmts
+
+
+def test_420_subsampling_roundtrip_and_structure():
+    """4:2:0 — the common real-world layout: 2x2 luma blocks per MCU
+    with box-filtered chroma — exercises the decoder's general
+    sampling-factor path (upsampling, MCU geometry) end to end."""
+    img = _gradient(37, 53)
+    enc444 = encode_jpeg(img, 90, subsampling="444")
+    enc420 = encode_jpeg(img, 90, subsampling="420")
+    assert len(enc420) < len(enc444)  # half the chroma blocks
+    # SOF0 luma sampling byte: 0x22 for 4:2:0 (component id 1)
+    idx = enc420.index(b"\xff\xc0")
+    assert enc420[idx + 11] == 0x22
+    dec = decode_jpeg(enc420)
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(float) - img.astype(float)).mean()
+    assert err < 8.0, err  # lossier than 4:4:4, still faithful
+
+
+def test_420_odd_sizes_decode_to_exact_shape():
+    rng = np.random.default_rng(5)
+    for shape in ((8, 8), (9, 10), (16, 16), (17, 31), (33, 15)):
+        im = rng.integers(0, 256, (*shape, 3)).astype(np.uint8)
+        d = decode_jpeg(encode_jpeg(im, 90, subsampling="420"))
+        assert d.shape == im.shape
+
+
+def test_unknown_subsampling_rejected():
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(_gradient(8, 8), 90, subsampling="422x")

@@ -48,10 +48,13 @@ class LAC:
                         del net._stacks
                     net.refresh_crf()
                     loaded = True
-            if not loaded and                     os.path.exists(os.path.join(model_path, "word_emb")):
+            if (not loaded
+                    and os.path.exists(os.path.join(model_path,
+                                                    "word_emb"))):
                 from .paddle_import import (load_paddle_params,
                                             paddle_params_to_weights)
-                net = self.engine.seg_net if mode == "seg"                     else self.engine.lac_net
+                net = (self.engine.seg_net if mode == "seg"
+                       else self.engine.lac_net)
                 w = paddle_params_to_weights(
                     load_paddle_params(model_path))
                 if w["crf_trans"].shape[0] != \

@@ -173,7 +173,11 @@ def input_fingerprint(df: DataFrame) -> tuple | None:
     files = files_fingerprint(df)
     if not files:
         return None
-    plan = df._jdf.queryExecution().analyzed().canonicalized().toString()
+    # toJSON(), not toString(): the pretty form truncates field lists
+    # at spark.sql.debug.maxToStringFields (default 25), so two wide
+    # schemas differing only past the cut would collide (ADVICE r5);
+    # the JSON serialization is complete at any width.
+    plan = df._jdf.queryExecution().analyzed().canonicalized().toJSON()
     return (files, hashlib.sha256(plan.encode()).hexdigest())
 
 
@@ -235,8 +239,14 @@ def cap_filter(op: str, df: DataFrame, part_cols: list[str], cap: int,
                unit: str) -> DataFrame:
     """Drop rows whose (part_cols) group exceeds ``cap`` rows AND
     register a drop-audit plan for the latest invocation of ``op``:
-    (distinct capped groups, rows dropped).  The audit is a plan, not
-    a job — it costs nothing until cap_audit_rows() evaluates it."""
+    (distinct capped groups, rows dropped).  The audit is a lazy
+    plan: registering it is free, but EVALUATING it (cap_audit_rows)
+    re-runs the per-group window count over the input — a real
+    shuffle-sized job, not a constant-time lookup — and counts the
+    input as it stands at evaluation time, not registration time.
+    Callers that want audited numbers for a pipeline run should
+    evaluate right after the capped result materializes (run_pipeline
+    does), while the input is unchanged and its scan is page-warm."""
     sized = df.withColumn(
         "__n", F.count(F.lit(1)).over(Window.partitionBy(*part_cols)))
     dropped = sized.filter(F.col("__n") > cap)
@@ -249,9 +259,12 @@ def cap_filter(op: str, df: DataFrame, part_cols: list[str], cap: int,
 
 
 def cap_audit_rows() -> list[dict]:
-    """Evaluate every registered cap audit (one tiny aggregate job
-    per lazy entry).  Entries reflect each operator's LATEST
-    invocation in this process."""
+    """Evaluate every registered cap audit.  Each lazy entry costs a
+    re-run of that operator's window-count over its input (see
+    cap_filter — not tiny; fast in practice only because the input
+    scan is typically still page-warm).  Entries reflect each
+    operator's LATEST invocation in this process, counting the input
+    as it stands NOW."""
     with _SLOT_LOCK:
         items = {k: dict(v) for k, v in _CAP_AUDIT.items()}
     out = []

@@ -148,7 +148,8 @@ def run_pipeline(spark: SparkSession, files: DataFrame, out_dir: str,
                   r["n_units_capped"], r["n_rows_dropped"])
                  for r in cap_audit],
                 "run_id string, op string, unit string, cap long, "
-                "n_units_capped long, n_rows_dropped long")                 .withColumn("committed_at", F.current_timestamp())
+                "n_units_capped long, n_rows_dropped long",
+            ).withColumn("committed_at", F.current_timestamp())
             write_table(audit_df, out_dir, "cap_audit", "append")
 
     tagged.unpersist()

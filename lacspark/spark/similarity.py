@@ -405,17 +405,6 @@ def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
 # Product quantization (PQ) — the compressed-domain ANN path
 # ---------------------------------------------------------------------------
 
-def _unrolled_l2(sub_expr: str, cent_var: str, ds: int) -> str:
-    """Squared L2 between two ds-dim arrays, UNROLLED with fixed
-    left-associative addition order — the same float op sequence in
-    Spark and DuckDB, so argmin ties can't flip between engines."""
-    terms = [f"(element_at({sub_expr}, {j + 1}) - "
-             f"element_at({cent_var}, {j + 1})) * "
-             f"(element_at({sub_expr}, {j + 1}) - "
-             f"element_at({cent_var}, {j + 1}))" for j in range(ds)]
-    return " + ".join(terms)
-
-
 def _with_unit(df: DataFrame, id_col: str, vec_col: str,
                out_id: str) -> DataFrame:
     """(out_id, __u): L2-normalized double vector — PQ quantizes the
@@ -440,10 +429,12 @@ def pq_codebooks(corpus: DataFrame, id_col: str, vec_col: str,
     * seeds: the k vectors with the smallest (md5(id), id), shared
       by every subspace (one driver collect total); centroid id =
       rank in that order;
-    * assignment: UNROLLED squared-L2 argmin against the codebook
-      literal — fixed left-associative float order, so the argmin
-      and its tie-break (lowest centroid id; the literal list is
-      kept id-sorted) are bit-identical in any engine;
+    * assignment: squared-L2 argmin against the codebook literal,
+      computed as an IN-ORDER left-to-right fold over the subvector
+      (zip_with + aggregate from 0.0 — the same float op sequence
+      DuckDB's list_dot_product-style in-order sums replay), so the
+      argmin and its tie-break (lowest centroid id; the literal
+      list is kept id-sorted) are bit-identical in any engine;
     * update: scaled-integer (1e-6 grid) means; a centroid whose
       cell empties drops out on both sides (ORIGINAL ids are
       tracked, never re-densified, so the oracle's group-by-code

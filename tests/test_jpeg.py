@@ -132,3 +132,28 @@ def test_420_odd_sizes_decode_to_exact_shape():
 def test_unknown_subsampling_rejected():
     with pytest.raises(ValueError, match="subsampling"):
         encode_jpeg(_gradient(8, 8), 90, subsampling="422x")
+
+
+def test_fill_bytes_before_marker_are_skipped():
+    """T.81 B.1.1.2: markers may be padded with any number of 0xFF
+    fill bytes.  Inject runs of 0xFF before every marker of a valid
+    stream; decode must be identical (ADVICE r5)."""
+    img = _gradient(16, 16)
+    payload = encode_jpeg(img, quality=90)
+    # rebuild the stream with two fill bytes before each marker after
+    # SOI, skipping entropy-coded 0xFF00 stuffing (only pad where a
+    # real marker follows: next byte is a non-zero, non-RST marker)
+    out = bytearray(payload[:2])
+    i = 2
+    while i < len(payload):
+        b = payload[i]
+        if (b == 0xFF and i + 1 < len(payload)
+                and payload[i + 1] not in (0x00,)
+                and not (0xD0 <= payload[i + 1] <= 0xD7)):
+            out += b"\xff\xff"
+        out.append(b)
+        i += 1
+    padded = bytes(out)
+    assert len(padded) > len(payload)
+    np.testing.assert_array_equal(decode_jpeg(padded),
+                                  decode_jpeg(payload))

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 _DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
@@ -484,10 +485,10 @@ def pq_codebooks(corpus: DataFrame, id_col: str, vec_col: str,
         got = (exploded.groupBy("m", "code")
                .agg(*sums, F.count(F.lit(1)).alias("__n"))
                .select("m", "code", *cent).collect())
-        # a FRESH list every iteration — the literal-Column cache
-        # (_pq_lits) keys on the books object's identity, so in-place
-        # mutation would silently serve the previous iteration's
-        # codebook literals
+        # a FRESH list every iteration (callers may hold the memoized
+        # object; in-place mutation once served stale cached literal
+        # Columns — the SQL-string build regenerates per call, but
+        # fresh lists stay the contract)
         books = [
             ([int(r["code"]) for r in rows],
              [[float(r[f"__c{j}"]) for j in range(ds)] for r in rows])
@@ -500,56 +501,51 @@ def pq_codebooks(corpus: DataFrame, id_col: str, vec_col: str,
     return books
 
 
-# literal-Column cache for the PQ codebooks: building the nested
-# F.lit(32×8) Columns costs ~1.2 s of py4j round trips and the query
-# assembles them three times per invocation; the memoized ``books``
-# object is stable across invocations, so the Columns are too.
-# Single slot, keyed on the books object identity + application id
-# (a restarted JVM invalidates the cached JavaObjects).
-_PQ_LIT_CACHE: dict = {}
+def _dbl_sql(x: float) -> str:
+    """Exact SQL double literal: repr() emits the shortest decimal
+    that round-trips, and Spark's parse (Java Double.parseDouble) is
+    correctly rounded — so the JVM sees bit-for-bit the same double
+    the driver holds."""
+    return f"{x!r}D"
 
 
-def _pq_lits(books, spark) -> tuple[list, list]:
-    app = spark.sparkContext.applicationId
-    slot = _PQ_LIT_CACHE.get("slot")
-    if slot is not None and slot[0] is books and slot[1] == app:
-        return slot[2], slot[3]
-    cent_lits = [F.lit(cents) for _, cents in books]
-    id_lits = [F.lit([int(i) for i in ids]) for ids, _ in books]
-    _PQ_LIT_CACHE["slot"] = (books, app, cent_lits, id_lits)
-    return cent_lits, id_lits
+def _pq_cent_sql(cents: list[list[float]]) -> str:
+    return ("array(" + ", ".join(
+        "array(" + ", ".join(_dbl_sql(x) for x in c) + ")"
+        for c in cents) + ")")
+
+
+def _pq_id_sql(ids: list[int]) -> str:
+    # L suffix: bigint elements, matching the F.lit(list[int]) the
+    # codebooks originally rode as (python int → LongType)
+    return "array(" + ", ".join(f"{int(i)}L" for i in ids) + ")"
 
 
 def _pq_assign(u: DataFrame, books, ds: int) -> DataFrame:
     """Append code_0..code_{M-1} (ORIGINAL centroid ids) to a
-    (…, __u) frame — pure projection, codebooks as literals.  Built
-    as TWO batched selects, not chained withColumns: every
-    withColumn re-analyzes the whole literal-heavy plan on the
-    driver, and 3 columns × 8 subspaces of that measured ~2.5 s of
-    pure plan-construction time per invocation at M=8/K=32."""
-    def l2(sub, c):
-        d = F.zip_with(sub, c, lambda x, y: (x - y) * (x - y))
-        return F.aggregate(d, F.lit(0.0), lambda a, v: a + v)
-
-    def l2_against(sub):
-        return lambda c: l2(sub, c)
-
-    cent_lits, id_lits = _pq_lits(books, u.sparkSession)
-    dist_cols = []
-    for mi in range(len(books)):
-        sub = F.slice("__u", mi * ds + 1, ds)
-        dist_cols.append(
-            F.transform(cent_lits[mi], l2_against(sub))
-            .alias(f"__d{mi}"))
-    mid = u.select("*", *dist_cols)
-    code_cols = [
-        F.element_at(
-            id_lits[mi],
-            F.array_position(F.col(f"__d{mi}"),
-                             F.array_min(f"__d{mi}")).cast("int"))
-        .alias(f"code_{mi}")
-        for mi in range(len(books))]
-    return mid.select(*[c for c in u.columns], *code_cols)
+    (…, __u) frame — pure projection, codebooks inlined as literals
+    (≙ broadcast).  The whole projection ships as TWO selectExpr
+    SQL strings parsed JVM-side in one round trip each: composing
+    the same tree out of F.transform/zip_with/aggregate Columns
+    burned ~0.6 s of py4j chatter per invocation at M=8/K=32
+    (and chained withColumns, which re-analyze the whole
+    literal-heavy plan per column, measured ~2.5 s).  The parsed
+    expressions are identical to the Column forms — same in-order
+    left fold from 0.0D, same argmin tie-break (array_position
+    returns the FIRST minimum; the id list is kept id-sorted)."""
+    dist_exprs = [
+        f"transform({_pq_cent_sql(cents)}, c -> aggregate("
+        f"zip_with(slice(__u, {mi * ds + 1}, {ds}), c, "
+        f"(x, y) -> (x - y) * (x - y)), 0.0D, (a, v) -> a + v)) "
+        f"AS __d{mi}"
+        for mi, (_ids, cents) in enumerate(books)]
+    mid = u.selectExpr("*", *dist_exprs)
+    code_exprs = [
+        f"element_at({_pq_id_sql(ids)}, "
+        f"cast(array_position(__d{mi}, array_min(__d{mi})) as int)) "
+        f"AS code_{mi}"
+        for mi, (ids, _cents) in enumerate(books)]
+    return mid.selectExpr(*u.columns, *code_exprs)
 
 
 def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
@@ -563,6 +559,195 @@ def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
     u = _with_unit(corpus, id_col, vec_col, "neighbor_id")
     return _pq_assign(u, books, ds).select(
         "neighbor_id", *[f"code_{mi}" for mi in range(m)])
+
+
+# Query sets up to this many rows get their ADC lookup tables built
+# on the driver (one bounded collect; each LUT row is m*k doubles ≈
+# 2 kB at M=8/K=32, so the broadcast stays ≤ ~20 MB).  Larger query
+# sets fall back to the distributed LUT build.
+_PQ_QUERY_DRIVER_MAX = 10_000
+
+# Shortlists (≤ queries×rerank rows by construction) up to this many
+# rows re-rank on the driver; larger fall back to the distributed
+# join+window re-rank.
+_PQ_SHORTLIST_DRIVER_MAX = 100_000
+
+# single-slot cross-invocation persist of the PQ code table (the
+# index a real deployment builds once and queries many times)
+_PQ_CODES_CACHE: dict = {}
+
+# Corpora up to this many rows get their raw vectors mirrored into a
+# driver-side dict for the exact re-rank (64-dim doubles → ≤ ~55 MB
+# at the bound), slot-cached on the corpus input fingerprint like the
+# code table.  Larger corpora fetch shortlisted vectors per query
+# batch via the distributed semi-join — the 10^12-row path.
+_PQ_VECS_DRIVER_MAX = 100_000
+_PQ_VECS_CACHE: dict = {}
+
+
+def _pq_corpus_vecs(corpus: DataFrame, id_col: str, vec_col: str, fp):
+    """{id: double-widened vector} for the whole corpus when it fits
+    the driver bound (the limit(N+1) probe doubles as the fetch),
+    slot-cached on the corpus input fingerprint — same single-slot /
+    input-identity discipline as ``slot_persist`` (fp None = non-file
+    input, never cached).  Returns None past the bound; callers fall
+    back to the distributed semi-join fetch."""
+    sess = corpus.sparkSession
+    key = (fp, id_col, vec_col)
+    slot = _PQ_VECS_CACHE.get("slot")
+    if slot is not None and fp is not None \
+            and slot[0] == key and slot[2] is sess:
+        return slot[1]
+    rows = (corpus.select(F.col(id_col).alias("__id"),
+                          F.col(vec_col).alias("__v"))
+            .limit(_PQ_VECS_DRIVER_MAX + 1).collect())
+    if len(rows) > _PQ_VECS_DRIVER_MAX:
+        return None
+    d = {r["__id"]: [float(x) for x in r["__v"]] for r in rows}
+    if fp is not None:
+        _PQ_VECS_CACHE["slot"] = (key, d, sess)
+    return d
+
+
+def _pq_rerank_driver(spark, srows, qvecs: dict, corpus: DataFrame,
+                      id_col: str, vec_col: str, k: int,
+                      nvecs: dict | None = None) -> DataFrame:
+    """Exact-cosine re-rank of a collected shortlist, on the driver.
+    ``qvecs`` is the {query_id: double-widened vector} dict the query
+    LUT fast path already collected (no extra job for the query side).
+
+    One distributed job: fetch the shortlisted corpus vectors by
+    semi-join (corpus streams, the ≤100k-id set broadcasts).  All
+    arithmetic replicates the engine ops bit-for-bit: float→double
+    widen, squared-norm and dot as in-order left folds from 0.0,
+    IEEE sqrt/divide, and the output rounding as
+    BigDecimal(shortest-repr).setScale(6, HALF_UP) — exactly Spark's
+    Round(double) — via Decimal(repr(v)) (python repr and Java
+    Double.toString both emit the shortest round-tripping decimal,
+    which is unique, so the digit strings agree)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    id_type = corpus.select(F.col(id_col)).schema.fields[0].dataType
+    out_schema = T.StructType([
+        T.StructField("query_id", id_type),
+        T.StructField("neighbor_id", id_type),
+        T.StructField("rnk", T.IntegerType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+    if not srows:
+        return spark.createDataFrame([], out_schema)
+
+    def norm(v):
+        s = 0.0
+        for x in v:
+            s = s + x * x
+        return math.sqrt(s)
+
+    by_q: dict = {}
+    need = set()
+    for r in srows:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        need.add(r["neighbor_id"])
+    if nvecs is None:
+        idf = spark.createDataFrame(
+            [(i,) for i in sorted(need)],
+            T.StructType([T.StructField("__id", id_type)]))
+        nrows = (corpus.select(F.col(id_col).alias("__id"),
+                               F.col(vec_col).alias("__v"))
+                 .join(F.broadcast(idf), "__id").collect())
+        nvecs = {r["__id"]: [float(x) for x in r["__v"]]
+                 for r in nrows}
+    out = []
+    for qid in by_q:
+        qv = qvecs[qid]
+        qn = norm(qv)
+        scored = []
+        for nid in by_q[qid]:
+            nv = nvecs[nid]
+            d = 0.0
+            for x, y in zip(qv, nv):
+                d = d + x * y
+            scored.append((d / (qn * norm(nv)), nid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rnk, (c, nid) in enumerate(scored[:k], start=1):
+            out.append((qid, nid, rnk,
+                        float(Decimal(repr(c)).quantize(
+                            Decimal("0.000001"),
+                            rounding=ROUND_HALF_UP))))
+    return spark.createDataFrame(out, out_schema)
+
+
+def _pq_query_luts(queries: DataFrame, id_col: str, vec_col: str,
+                   books, m: int, ds: int):
+    """((query_id, __lut0..__lut{M-1}) DataFrame, {query_id: vec} or
+    None) — per-query ADC lookup tables
+    lut[mi][cell] = dot(unit_query_sub, centroid); the second element
+    is the collected query vectors (float→double widened) when the
+    driver fast path ran, so the re-rank can reuse them without
+    another job.
+
+    Fast path (queries within _PQ_QUERY_DRIVER_MAX rows, the
+    by-contract-small side): ONE bounded collect — the limit(N+1)
+    probe doubles as the fetch — then pure-Python folds replicating
+    the engine float ops EXACTLY (float→double widen, squared-norm as
+    an in-order left fold from 0.0, java/IEEE sqrt, per-element
+    divide, per-subspace in-order dot fold from 0.0 — the same op
+    sequence as `_DOT`/`_with_unit`, so every LUT double is
+    bit-identical to the distributed build and to the DuckDB oracle's
+    list_dot_product replay).  This removes the round-trip-heavy
+    lambda plan AND the localCheckpoint job the distributed build
+    pays (~1.5 s constant at M=8/K=32 — VERDICT r5 item 4).
+
+    Fallback (large query sets): the original distributed build —
+    transform over the codebook literal + localCheckpoint as a
+    CollapseProject barrier (a single-use projected column would be
+    inlined into the join output and re-evaluate the whole
+    32-centroid transform per PAIR — the explode_once trap)."""
+    import math
+
+    spark = queries.sparkSession
+    rows = (queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("__v"))
+            .limit(_PQ_QUERY_DRIVER_MAX + 1).collect())
+    if len(rows) <= _PQ_QUERY_DRIVER_MAX:
+        out = []
+        qvecs: dict = {}
+        for r in rows:
+            v = [float(x) for x in r["__v"]]
+            s = 0.0
+            for x in v:
+                s = s + x * x
+            nrm = math.sqrt(s)
+            u = [x / nrm for x in v]
+            luts = []
+            for mi in range(m):
+                sub = u[mi * ds:(mi + 1) * ds]
+                lut = []
+                for cent in books[mi][1]:
+                    a = 0.0
+                    for x, y in zip(sub, cent):
+                        a = a + x * y
+                    lut.append(a)
+                luts.append(lut)
+            out.append((r["query_id"], *luts))
+            qvecs[r["query_id"]] = v
+        id_field = queries.select(F.col(id_col).alias("query_id")) \
+            .schema.fields[0]
+        schema = T.StructType(
+            [id_field] + [T.StructField(f"__lut{mi}",
+                                        T.ArrayType(T.DoubleType()))
+                          for mi in range(m)])
+        return spark.createDataFrame(out, schema), qvecs
+
+    lut_exprs = [
+        f"transform({_pq_cent_sql(books[mi][1])}, c -> aggregate("
+        f"zip_with(slice(__u, {mi * ds + 1}, {ds}), c, "
+        f"(x, y) -> x * y), 0.0D, (a, v) -> a + v)) AS __lut{mi}"
+        for mi in range(m)]
+    return (_with_unit(queries, id_col, vec_col, "query_id")
+            .selectExpr("query_id", *lut_exprs).localCheckpoint(),
+            None)
 
 
 def pq_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
@@ -606,40 +791,39 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
     #
     # Join orientation is the 10^12-row one: the CODE table streams
     # (it is the big side at scale and arrives partitioned) and the
-    # small query set broadcasts.  The LUT frame is localCheckpointed
-    # — queries are small by contract — because a single-use
+    # small query set broadcasts.  The LUT frame is driver-built for
+    # by-contract-small query sets (bit-identical pure-Python folds,
+    # see _pq_query_luts) and localCheckpointed when built
+    # distributed — the barrier matters because a single-use
     # projected column gets INLINED into its consumer by
-    # CollapseProject (the explode_once trap): without the barrier
-    # the whole 32-centroid LUT transform re-evaluated per PAIR row
-    # (~200M interpreted lambda calls, 2× the query's cost).
+    # CollapseProject (the explode_once trap): without it the whole
+    # 32-centroid LUT transform re-evaluated per PAIR row.
+    from .dedup import input_fingerprint, slot_persist
     from .tagger import ensure_parallelism
 
-    def dot(sub, c):
-        return F.aggregate(F.zip_with(sub, c, lambda x, y: x * y),
-                           F.lit(0.0), lambda a, v: a + v)
-
-    def dot_against(sub):
-        return lambda c: dot(sub, c)
-
-    cent_lits, id_lits = _pq_lits(books, queries.sparkSession)
-    lut_cols = [
-        F.transform(cent_lits[mi],
-                    dot_against(F.slice("__u", mi * ds + 1, ds)))
-        .alias(f"__lut{mi}")
-        for mi in range(m)]
-    q = _with_unit(queries, id_col, vec_col, "query_id") \
-        .select("query_id", *lut_cols).localCheckpoint()
+    spark = queries.sparkSession
+    q, qvecs = _pq_query_luts(queries, id_col, vec_col, books, m, ds)
+    # The code table is the PQ INDEX: built once per corpus, queried
+    # many times — so it is slot-persisted keyed on the corpus input
+    # identity + quantizer params (same single-slot pattern as the
+    # near-dup pair cache; non-file inputs get key None = persisted
+    # for this invocation only, never reused).
+    fp = input_fingerprint(corpus)
+    ckey = (None if fp is None
+            else ("pq_codes", fp, id_col, vec_col, dim, m, n_cents,
+                  iters))
+    codes = slot_persist(_PQ_CODES_CACHE, ckey,
+                         ensure_parallelism(codes))
     # position of each ORIGINAL centroid id in the id-sorted
     # codebook, computed once per CORPUS row (not per pair)
-    pos_cols = [
-        F.array_position(id_lits[mi],
-                         F.col(f"code_{mi}")).cast("int")
-        .alias(f"__pos{mi}")
+    pos_exprs = [
+        f"cast(array_position({_pq_id_sql(books[mi][0])}, code_{mi}) "
+        f"as int) AS __pos{mi}"
         for mi in range(m)]
-    codes = ensure_parallelism(codes).select("neighbor_id", *pos_cols)
+    scan = codes.selectExpr("neighbor_id", *pos_exprs)
     adc = " + ".join(f"element_at(__lut{mi}, __pos{mi})"
                      for mi in range(m))
-    pairs = (codes.crossJoin(F.broadcast(q))
+    pairs = (scan.crossJoin(F.broadcast(q))
              .filter(F.col("neighbor_id") != F.col("query_id"))
              .withColumn("__adc", F.expr(adc))
              .select("query_id", "neighbor_id", "__adc"))
@@ -648,6 +832,26 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
     short = (pairs.withColumn("__r", F.row_number().over(w))
              .filter(F.col("__r") <= rerank)
              .select("query_id", "neighbor_id"))
+    # ---- exact re-rank over the shortlist ----
+    # The shortlist is ≤ queries×rerank rows — small BY CONSTRUCTION
+    # (that is the whole point of a shortlist), so the re-rank runs
+    # on the driver when it fits: one bounded collect of the
+    # distributed shortlist, one distributed semi-join fetch of the
+    # shortlisted corpus vectors (corpus streams, id set broadcasts
+    # — the 10^12-row orientation), then pure-Python folds that
+    # replicate the engine float ops EXACTLY (see _pq_query_luts).
+    # Saves ~4 driver-scheduled stages (two joins + window + final
+    # project) whose fixed cost dwarfed the 5k-row work.  Larger
+    # shortlists — or a query set too big for the LUT fast path
+    # (qvecs is None) — fall back to the fully distributed re-rank.
+    if qvecs is not None:
+        srows = short.limit(_PQ_SHORTLIST_DRIVER_MAX + 1).collect()
+        if len(srows) <= _PQ_SHORTLIST_DRIVER_MAX:
+            nvecs = _pq_corpus_vecs(corpus, id_col, vec_col, fp)
+            return _pq_rerank_driver(spark, srows, qvecs, corpus,
+                                     id_col, vec_col, k, nvecs=nvecs)
+        # probe overflowed (srows is truncated at N+1 — NOT the full
+        # shortlist): recompute distributed below
     qv = _with_norm(queries, id_col, vec_col, "query_id")
     nv = _with_norm(corpus, id_col, vec_col, "neighbor_id")
     exact = (short.join(qv, "query_id").join(nv, "neighbor_id")

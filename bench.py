@@ -13,8 +13,11 @@ import json
 import os
 import sys
 import time
+from statistics import median
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lacspark import telemetry  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -65,28 +68,37 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict = {"cpus": CPUS}
 
-    # one cold pass (JVM/python-worker/page-cache warmup), then TWO
+    # one cold pass (JVM/python-worker/page-cache warmup), then THREE
     # warm passes with the BEST as the headline: this VM's host-level
     # CPU steal moves single runs by 2x in either direction and is
     # strictly additive slowdown, so best-of-N is the faithful
     # steady-state estimate (same policy as bench_scaling.py).  All
-    # samples reported.
-    t0 = time.time()
-    n_triples, kg_stats = kg_pipeline_bench(spark, SF_DIR)
-    cold_sec = time.time() - t0
-    warm_secs = []
-    for _ in range(2):
-        t0 = time.time()
-        n_triples, kg_stats = kg_pipeline_bench(spark, SF_DIR)
-        warm_secs.append(time.time() - t0)
+    # samples are reported WITH per-sample /proc/stat steal + load
+    # telemetry (lacspark.telemetry) so contaminated samples are
+    # identifiable mechanically, not narratively (VERDICT r5 item 2);
+    # the median over warm samples rides alongside the best
+    # (ADVICE r4 / VERDICT r5 item 8).
+    (n_triples, kg_stats), cold_sec, cold_tel = telemetry.timed(
+        lambda: kg_pipeline_bench(spark, SF_DIR))
+    kg_samples = []
+    for _ in range(3):
+        (n_triples, kg_stats), sec, tel = telemetry.timed(
+            lambda: kg_pipeline_bench(spark, SF_DIR))
+        kg_samples.append({"sec": round(sec, 3), "telemetry": tel})
+    warm_secs = [s["sec"] for s in kg_samples]
     kg_sec = min(warm_secs)
     timings["kg_pipeline"] = round(kg_sec, 3)
     extra["kg_pipeline_cold_sec"] = round(cold_sec, 3)
-    extra["kg_pipeline_warm_secs"] = [round(s, 3) for s in warm_secs]
-    # best-of-warm is the frozen headline (see BASELINE.md); the mean of
-    # the same samples is reported alongside as the pessimistic bound
-    extra["kg_pipeline_warm_mean_sec"] = round(
-        sum(warm_secs) / len(warm_secs), 3)
+    extra["kg_pipeline_cold_telemetry"] = cold_tel
+    extra["kg_pipeline_warm_samples"] = kg_samples
+    # best-of-warm is the frozen headline (see BASELINE.md); the
+    # median of the same samples is reported alongside as the
+    # pessimistic bound, plus the best over steal-clean samples only
+    extra["kg_pipeline_warm_median_sec"] = round(median(warm_secs), 3)
+    kg_clean = telemetry.clean(kg_samples)
+    extra["kg_pipeline_warm_best_clean_sec"] = (
+        round(min(s["sec"] for s in kg_clean), 3) if kg_clean
+        else None)
     extra.update(kg_stats)
     extra["triples_per_sec"] = round(n_triples / kg_sec, 1)
     extra["docs_per_sec"] = round(kg_stats["n_docs"] / kg_sec, 1)
@@ -97,25 +109,40 @@ def main() -> None:
     # tagger/KG queries run their Spark side at SF_DIR like the rest
     # (the golden parquet is only the correctness gate's oracle).
     bench_queries = list(SPARK_QUERIES)
-    # two passes per query: pass 1 pays whole-stage codegen compile +
-    # python-worker spin-up (recorded in extra.cold_sec); pass 2 is
-    # the steady-state cost a warm cluster pays per query.  The WARM
-    # time is the headline (round 2 reported min(cold, warm), which
-    # biased totals down and was incomparable to earlier single-pass
-    # rounds — flagged in extra.methodology).
+    # three passes per query: pass 1 pays whole-stage codegen compile
+    # + python-worker spin-up (recorded in extra.cold_sec); passes
+    # 2-3 are the steady-state cost a warm cluster pays per query.
+    # The FIRST warm pass is the frozen headline (unchanged since r2
+    # — round 2 reported min(cold, warm), which biased totals down);
+    # {best, median, n} over the warm samples plus per-sample steal
+    # telemetry ride alongside in extra.warm_stats / extra.samples.
     for name in bench_queries:
-        t0 = time.time()
-        n = SPARK_QUERIES[name](spark, SF_DIR).count()
-        cold = time.time() - t0
-        t0 = time.time()
-        SPARK_QUERIES[name](spark, SF_DIR).count()
-        warm = time.time() - t0
-        timings[name] = round(warm, 3)
+        def run(name=name):
+            return SPARK_QUERIES[name](spark, SF_DIR).count()
+        n, cold, cold_tel = telemetry.timed(run)
+        warm = []
+        for _ in range(2):
+            _, sec, tel = telemetry.timed(run)
+            warm.append({"sec": round(sec, 3), "telemetry": tel})
+        secs = [s["sec"] for s in warm]
+        timings[name] = secs[0]
         extra.setdefault("cold_sec", {})[name] = round(cold, 3)
         extra.setdefault("rows", {})[name] = n
+        extra.setdefault("samples", {})[name] = (
+            [{"sec": round(cold, 3), "telemetry": cold_tel,
+              "cold": True}] + warm)
+        extra.setdefault("warm_stats", {})[name] = {
+            "best": min(secs),
+            "median": round(median(secs), 3),
+            "n": len(secs),
+        }
     extra["methodology"] = (
-        "headline = warm (2nd) run per query; r1 was single-pass, "
-        "r2 was min(cold, warm); cold in extra.cold_sec")
+        "headline = first warm run per query (frozen since r2; r1 "
+        "was single-pass, r2 was min(cold, warm)); cold in "
+        "extra.cold_sec; {best, median, n} over warm runs in "
+        "extra.warm_stats; per-sample /proc/stat steal_pct + "
+        "busy_pct + load1 in extra.samples (steal_pct > "
+        f"{telemetry.STEAL_CLEAN_PCT} marks a contaminated sample)")
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:

@@ -46,7 +46,7 @@ def start_tagging_stream(stream_df: DataFrame, out_dir: str,
 
 def streaming_dedup(stream_df: DataFrame, key_col: str,
                     text_col: str = "text",
-                    timeout_minutes: int = 60,
+                    timeout_minutes: int | None = 60,
                     max_state_fingerprints: int = 100_000) -> DataFrame:
     """Custom stateful operator: drop rows whose normalized-content
     fingerprint was already seen for the same key, across
@@ -64,6 +64,17 @@ def streaming_dedup(stream_df: DataFrame, key_col: str,
       order).  Past the cap dedup degrades gracefully to
       approximate — a re-occurrence of an evicted fingerprint is
       emitted again — which is the right trade for a bounded store.
+
+    TTL semantics vs bounded replays: with ProcessingTimeTimeout
+    armed, a Trigger.AvailableNow run does NOT stop when the data is
+    exhausted — MicroBatchExecution keeps scheduling no-data
+    micro-batches to service the pending timers, so the query only
+    terminates once every key's TTL has fired (observed: a 500-doc
+    replay spinning ~770 empty batches toward the 60-minute mark).
+    Pass ``timeout_minutes=None`` for bounded replays (no TTL, query
+    terminates with the data — what the gated
+    ``streaming_dedup_keeper`` does); keep the TTL for genuinely
+    continuous streams, where the trigger never terminates anyway.
 
     Fingerprints are stored truncated to 16 hex chars (64 bits): at
     10^5 entries/key the in-store collision odds are ~3e-10 and the
@@ -100,13 +111,15 @@ def streaming_dedup(stream_df: DataFrame, key_col: str,
         if len(ordered) > max_state_fingerprints:
             ordered = ordered[-max_state_fingerprints:]
         state.update((ordered,))
-        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         yield pd.DataFrame(rows,
                            columns=[key_col, text_col, "fingerprint"])
 
+    timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout
+                    if timeout_minutes else GroupStateTimeout.NoTimeout)
     return (stream_df.groupBy(key_col).applyInPandasWithState(
-        dedup, out_schema, state_schema, "append",
-        GroupStateTimeout.ProcessingTimeTimeout))
+        dedup, out_schema, state_schema, "append", timeout_conf))
 
 
 def windowed_mention_counts(stream_df: DataFrame, text_col: str = "text",

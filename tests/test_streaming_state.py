@@ -5,6 +5,28 @@ from __future__ import annotations
 from lacspark.spark.streaming import streaming_dedup
 
 
+def _await_drained(q, total_rows, timeout=180):
+    """Wait until the availableNow run has drained its DATA batches.
+
+    With ProcessingTimeTimeout armed the query never terminates on its
+    own (pending TTL timers keep no-data micro-batches coming —
+    streaming_dedup docstring), so waiting the full timeout wastes
+    wall-clock: return once ALL ``total_rows`` input rows have been
+    processed AND the newest micro-batch was empty (the trailing empty
+    batch proves the last data batch committed to the sink).
+    """
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if q.awaitTermination(2):
+            return
+        prog = q.recentProgress
+        if (prog and sum(p["numInputRows"] for p in prog) >= total_rows
+                and prog[-1]["numInputRows"] == 0):
+            return
+
+
 def test_streaming_dedup_across_microbatches(spark, tmp_path):
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")
@@ -26,7 +48,8 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     q = (deduped.writeStream.format("parquet")
          .option("path", out).option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    _await_drained(q, total_rows=6)
+    q.stop()  # kill the TTL-timer zombie; data batches are committed
 
     rows = [(r.source, r.text, r.fingerprint)
             for r in spark.read.parquet(out).collect()]
@@ -66,7 +89,8 @@ def test_streaming_dedup_state_is_bounded(spark, tmp_path):
     q = (deduped.writeStream.format("parquet")
          .option("path", out).option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    _await_drained(q, total_rows=7)
+    q.stop()  # same zombie-timer rationale as above
 
     texts = [r.text for r in spark.read.parquet(out).collect()]
     assert sorted(texts).count("row number 0") == 2  # evicted → re-emitted

@@ -1302,6 +1302,63 @@ def streaming_curation_counts(spark, sf_dir):
     return spark.table(sink)
 
 
+@register("streaming_dedup_keeper", r"""
+    select lang,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+               as fingerprint
+    from documents
+    group by 1, 2
+""")
+def streaming_dedup_keeper(spark, sf_dir):
+    """The STATEFUL streaming exact-dup keeper under the correctness
+    gate (the one curation stage that can't lift statelessly —
+    ``applyInPandasWithState`` keeps the per-key seen-fingerprint set
+    in the state store; spark/streaming.py:47).
+
+    Replay shape: every document arrives TWICE — once raw, once as a
+    case/whitespace-mangled twin (explode over [text, mangled] on the
+    one file source; a two-source self-union never finishes under
+    availableNow) — different raw bytes, same normalized fingerprint,
+    so the keeper must emit exactly ONE row per (lang, fingerprint).
+    The oracle is the batch twin: DISTINCT (lang, md5(normalized
+    text)) over the original corpus — which duplicate the keeper saw
+    first is order-dependent, so the gated projection carries only
+    the order-insensitive (key, fingerprint) pair, never the raw
+    text.  Cross-micro-batch state, TTL expiry, and the FIFO size
+    cap are pytest-gated (tests/test_streaming_state.py)."""
+    import uuid
+
+    from .spark.streaming import streaming_dedup
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir)
+              .select("lang", F.explode(F.array(
+                  F.col("text"),
+                  F.concat(F.lit("  "), F.upper("text"), F.lit(" "))
+              )).alias("text")))
+    # timeout_minutes=None: a bounded availableNow replay must not
+    # arm processing-time TTL timers — pending timers keep the query
+    # alive through no-data micro-batches until every TTL fires
+    # (streaming_dedup docstring)
+    deduped = streaming_dedup(stream, "lang", "text",
+                              timeout_minutes=None)
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    # per-key state rides the shuffle: n_langs keys → 8 partitions
+    # (same scoped set/restore rationale as streaming_curation_counts)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (deduped.writeStream.trigger(availableNow=True)
+             .format("memory").queryName(sink)
+             .outputMode("append").start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink).select("lang", "fingerprint")
+
+
 @register("token_class_counts", """
     select doc_id,
            length(regexp_extract_all(text, '[A-Za-z]+')) as n_alpha,
@@ -2300,3 +2357,110 @@ def mention_salience_topk_q(spark, sf_dir):
                              mode="rank")
     mentions = explode_mentions(tagged, ["doc_id"])
     return mention_salience_topk(mentions, ["doc_id"], k=5)
+
+
+# ---------------------------------------------------------------------------
+# Gate-window suites (VERDICT r5 item 6): the registry outgrew the
+# driver gate's 50-row window, so the cheapest LONG-STABLE queries ride
+# the gate folded into two union suites — every member's full typed
+# result is still value-hashed every round (mapped into a shared slot
+# schema with a discriminator), while the per-member queries stay in
+# SPARK_QUERIES for pytest's full Spark≡DuckDB contract run
+# (tests/test_driver_contract.py) and for users.  __spark_entry__
+# excludes the folded members from the GATE registry only.
+# ---------------------------------------------------------------------------
+
+# shared slot schema: discriminator + typed nullable slots.  Ints ride
+# bigint, floats double (bit-exact cross-engine, BASELINE.md); keys as
+# varchar.  Casting int->varchar is locale-free and identical in both
+# engines, but native typed slots avoid string-formatting doubles
+# (which is NOT identical cross-engine and must never happen here).
+_SLOTS = (("k1", "string"), ("k2", "string"),
+          ("i1", "bigint"), ("i2", "bigint"), ("i3", "bigint"),
+          ("i4", "bigint"), ("d1", "double"), ("d2", "double"),
+          ("d3", "double"))
+_DUCK_SLOT_T = {"string": "VARCHAR", "bigint": "BIGINT",
+                "double": "DOUBLE"}
+
+
+def _slot_df(df, part: str, **m):
+    cols = [F.lit(part).alias("part")]
+    for nm, typ in _SLOTS:
+        src = m.get(nm)
+        cols.append((F.col(src) if src else F.lit(None))
+                    .cast(typ).alias(nm))
+    return df.select(*cols)
+
+
+def _slot_sql(member_sql: str, part: str, **m) -> str:
+    exprs = [f"'{part}' as part"]
+    for nm, typ in _SLOTS:
+        src = m.get(nm, "NULL")
+        exprs.append(f"cast({src} as {_DUCK_SLOT_T[typ]}) as {nm}")
+    return ("select " + ", ".join(exprs)
+            + f" from (\n{member_sql}\n)")
+
+
+# (member, spark-col->slot map) — slot maps are identical on both
+# sides because every member aliases its columns identically in Spark
+# and SQL already (the driver-gate contract).
+_RELATIONAL_FOLD = [
+    ("tpch_q1_pricing", dict(k1="l_returnflag", k2="l_linestatus",
+                             d1="sum_qty", d2="sum_base_price",
+                             d3="sum_disc_price", i1="count_order")),
+    ("orders_by_nation", dict(k1="nation", i1="n_orders", d1="revenue")),
+    ("top_orders_per_customer", dict(i1="o_custkey", i2="o_orderkey",
+                                     i3="rnk")),
+    ("events_tumbling_minute", dict(k1="event_type", i1="window_start",
+                                    i2="n_events", d1="sum_value")),
+    ("lineitem_part_supplier", dict(k1="brand", i1="nationkey",
+                                    i2="n_items", d1="volume")),
+    ("events_sessionize", dict(i1="user_id", i2="session_id",
+                               i3="n_events")),
+    ("orders_rollup", dict(k1="priority", k2="status", i1="n",
+                           d1="total")),
+    ("customers_set_ops", dict(k1="bucket", i1="n")),
+    ("orders_running_total", dict(i1="o_custkey", i2="o_orderkey",
+                                  d1="running_total")),
+]
+
+_DOCMETA_FOLD = [
+    ("doc_token_stats", dict(i1="doc_id", i2="n_tokens",
+                             i3="n_distinct", i4="n_chars")),
+    ("token_class_counts", dict(i1="doc_id", i2="n_alpha", i3="n_num",
+                                i4="n_bpe_ish")),
+    ("lang_id_heuristic", dict(i1="doc_id", k1="lang_pred")),
+    ("quality_score", dict(i1="doc_id", i2="len_bucket", i3="punct_pct",
+                           i4="stopword_chars", k1="is_quality")),
+]
+
+
+def _fold_sql(fold) -> str:
+    return "\nunion all\n".join(
+        _slot_sql(ORACLE_SQL[name], name, **m) for name, m in fold)
+
+
+def _fold_spark(spark, sf_dir, fold):
+    out = None
+    for name, m in fold:
+        part = _slot_df(SPARK_QUERIES[name](spark, sf_dir), name, **m)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+@register("relational_suite", _fold_sql(_RELATIONAL_FOLD))
+def relational_suite(spark, sf_dir):
+    """All nine relational/windowed demo operators (stable since r1)
+    in one gate entry: each member's FULL result rides a typed slot
+    row tagged with the member name, so the driver still value-hashes
+    every member every round while the registry fits the gate
+    window."""
+    return _fold_spark(spark, sf_dir, _RELATIONAL_FOLD)
+
+
+@register("docmeta_suite", _fold_sql(_DOCMETA_FOLD))
+def docmeta_suite(spark, sf_dir):
+    """Per-document metadata operators (token stats, token classes,
+    language-ID heuristic, quality score) folded into one gate entry —
+    same slot scheme as relational_suite."""
+    return _fold_spark(spark, sf_dir, _DOCMETA_FOLD)

@@ -45,21 +45,41 @@ class LacEngine:
     def __init__(self, resource_dir_path: str | os.PathLike | None = None,
                  custom_dict_path: str | None = None,
                  use_automaton: bool = False):
-        rd = str(resource_dir() if resource_dir_path is None
-                 else resource_dir_path)
-        self.encoder = Encoder.from_files(
-            os.path.join(rd, "word.dic"), os.path.join(rd, "q2b.dic"))
-        self.id2label = load_kv(os.path.join(rd, "tag.dic"), key_func=int)
-        self.id2seglabel = load_kv(os.path.join(rd, "seg_tag.dic"), key_func=int)
-        freq = load_kv(os.path.join(rd, "small_seg.dic"),
-                       delimiter=" ", value_func=int)
+        # Per-file fallback: a user-supplied dir (e.g. the reference's
+        # own shipped model layout, which carries word/q2b/tag.dic but
+        # none of the seg/weight files — Android/.../lac_model/) only
+        # needs to provide the files it overrides; the rest come from
+        # the packaged resources.
+        pkg = str(resource_dir())
+        user = None if resource_dir_path is None else str(resource_dir_path)
+
+        def res(fname: str) -> str:
+            if user is not None:
+                p = os.path.join(user, fname)
+                if os.path.exists(p):
+                    return p
+            return os.path.join(pkg, fname)
+
+        self.encoder = Encoder.from_files(res("word.dic"), res("q2b.dic"))
+        self.id2label = load_kv(res("tag.dic"), key_func=int)
+        self.id2seglabel = load_kv(res("seg_tag.dic"), key_func=int)
+        freq = load_kv(res("small_seg.dic"), delimiter=" ", value_func=int)
         self.segmenter = DagSegmenter(freq)
+        # CRF masks derive from the LOADED tag inventories, not the
+        # hard-coded lists: a model dir shipping its own tag.dic (the
+        # reference's published dirs order labels differently — e.g.
+        # the Android assets are alphabetical) gets transition
+        # constraints consistent with ITS id order.  For the packaged
+        # dics this is exactly LAC_LABELS/SEG_LABELS (test-pinned).
+        lac_labels = [self.id2label[i] for i in range(len(self.id2label))]
+        seg_labels = [self.id2seglabel[i]
+                      for i in range(len(self.id2seglabel))]
         self.lac_net = BiGruCrf.load(
-            os.path.join(rd, "lac_weights.npz"),
-            transition_mask(LAC_LABELS), start_mask(LAC_LABELS))
+            res("lac_weights.npz"),
+            transition_mask(lac_labels), start_mask(lac_labels))
         self.seg_net = BiGruCrf.load(
-            os.path.join(rd, "seg_weights.npz"),
-            transition_mask(SEG_LABELS), start_mask(SEG_LABELS))
+            res("seg_weights.npz"),
+            transition_mask(seg_labels), start_mask(seg_labels))
         self.custom: Customization | None = None
         if custom_dict_path:
             self.custom = Customization(use_automaton)

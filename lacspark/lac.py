@@ -29,7 +29,23 @@ class LAC:
         if mode not in ("seg", "lac", "rank"):
             raise ValueError(f"mode must be seg|lac|rank, got {mode!r}")
         self.mode = mode
-        self.engine = LacEngine()
+        # The reference's published model dirs ship their OWN dict
+        # stack next to the weights — either under ``conf/`` (the
+        # downloaded python models; reader.py:90-96 resolves
+        # word/tag/q2b dict paths relative to model_path) or at the
+        # top level (Android/.../assets/lac_model/).  If the supplied
+        # dir carries the three core dics, build the engine's dict
+        # stack from THERE (missing aux files fall back to packaged —
+        # engine.py per-file resolution), so a real downloaded dir is
+        # drop-in without separating dics from weights.
+        dict_dir = None
+        if model_path:
+            for cand in (os.path.join(model_path, "conf"), model_path):
+                if all(os.path.exists(os.path.join(cand, f))
+                       for f in ("word.dic", "tag.dic", "q2b.dic")):
+                    dict_dir = cand
+                    break
+        self.engine = LacEngine(resource_dir_path=dict_dir)
         # model_path ≙ the reference's retrained-model dir: weights
         # saved by LAC.train / LacEngine.train load over the packaged
         # dictionaries (models.py:209 load_model).  A PADDLE-layout

@@ -163,11 +163,15 @@ def write_paddle_tensor(arr: np.ndarray) -> bytes:
 
 def load_paddle_params(model_dir: str) -> dict[str, np.ndarray]:
     """Every per-param file in a saved inference model dir (skips the
-    ``__model__`` program description and any combined-format
-    leftovers)."""
+    ``__model__`` program description, any combined-format leftovers,
+    and the non-tensor files real published dirs ship alongside the
+    params — ``*.dic`` dictionaries, Paddle-Lite ``*.nb`` blobs,
+    the Android layout keeps both next to the weights)."""
     out = {}
     for name in sorted(os.listdir(model_dir)):
         if name.startswith("__") or name.startswith("."):
+            continue
+        if name.endswith((".dic", ".nb", ".txt", ".ini", ".npz")):
             continue
         path = os.path.join(model_dir, name)
         if not os.path.isfile(path):

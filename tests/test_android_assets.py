@@ -1,0 +1,188 @@
+"""The reference's REAL shipped dict stack through the facade
+(VERDICT r5 item 7).
+
+The Android app bundles an actual published model dir —
+/root/reference/Android/testlac/app/src/main/assets/lac_model/ with
+word.dic (8,224-entry vocabulary), q2b.dic (5,880 full→half width
+mappings) and tag.dic (57 lines incl. the nr/ns/nt/t → PER/LOC/ORG/
+TIME last-wins aliases, alphabetical id order) — the one layout in
+the sandbox that is NOT a fabricated fixture.  These tests drive that
+real layout through our loaders and the ``LAC`` facade:
+
+* format parity: the ``id \\t token`` loader semantics
+  (reader.py:29-51) produce the expected vocab/tag/q2b stacks from
+  the real files, including the alias overrides;
+* the facade detects a dict stack INSIDE a model dir (conf/ or
+  top-level, per the published layouts) and builds the engine's
+  dicts from it, with CRF masks derived from THAT tag.dic's id
+  order — the Android order differs from the packaged one, so this
+  is the case that catches a hard-coded-label-order regression;
+* end-to-end: a Paddle-layout weight dir sized for the REAL 8,224
+  vocabulary + the real dics runs ``LAC.run`` and returns
+  reference-shaped, sha-invariant, IOB2-consistent output.
+
+(The bundled model.nb is a Paddle-Lite naive-buffer blob — a
+different serialization than the per-param server format our
+importer targets; weights here are fabricated at the real vocab
+size, which is the strongest runnable evidence in-sandbox.)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from lacspark.encoding import Encoder, load_kv
+from lacspark.lac import LAC
+from lacspark.tagscheme import ALIAS, LAC_LABELS
+
+ASSETS = "/root/reference/Android/testlac/app/src/main/assets/lac_model"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(ASSETS), reason="reference Android assets absent")
+
+
+def test_real_word_dic_loads_full_vocab():
+    w2i = load_kv(os.path.join(ASSETS, "word.dic"),
+                  reverse=True, value_func=int)
+    assert len(w2i) == 8224
+    assert w2i["OOV"] == 8223          # last line, the OOV row
+    assert w2i["0"] == 15              # ASCII digits sit at the front
+    ids = sorted(w2i.values())
+    assert ids[0] == 0 and ids[-1] == 8223 and len(set(ids)) == 8224
+
+
+def test_real_tag_dic_alias_last_wins_and_inventory():
+    id2label = load_kv(os.path.join(ASSETS, "tag.dic"), key_func=int)
+    # 57 physical lines collapse to 49 ids: the weak nr/ns/nt/t ids
+    # are re-mapped by the later PER/LOC/ORG/TIME lines (last-wins).
+    assert len(id2label) == 49
+    labels = [id2label[i] for i in range(49)]
+    assert set(labels) == set(LAC_LABELS)
+    assert labels != list(LAC_LABELS)  # real dir orders alphabetically
+    for weak in ALIAS:                 # no weak label survives the alias
+        assert f"{weak}-B" not in labels
+
+
+def test_real_q2b_normalizes_fullwidth_through_encoder():
+    enc = Encoder.from_files(os.path.join(ASSETS, "word.dic"),
+                             os.path.join(ASSETS, "q2b.dic"))
+    assert len(enc.q2b) == 5880
+    # full-width ASCII normalizes onto the in-vocab half-width rows
+    assert enc.q2b["Ａ"] == "A" and enc.q2b["５"] == "5"
+    fw = enc.tokens_to_ids(list("５Ａ"))
+    hw = enc.tokens_to_ids(list("5A"))
+    assert fw == hw and enc.oov_id not in fw
+    # multi-char tokens miss the per-token q2b dict and pass through
+    # (reader.py:103-111), falling to OOV unless in-vocab raw
+    assert enc.tokens_to_ids(["５Ａ"]) == [enc.oov_id]
+
+
+def _fabricate_weights(vocab: int, n_labels: int,
+                       dim: int = 8, layers: int = 2) -> dict:
+    rng = np.random.default_rng(20260817)
+    w = {"emb": rng.standard_normal((vocab, dim)).astype(np.float32)}
+    for li in range(layers):
+        xin = dim if li == 0 else 2 * dim
+        for d in ("fw", "bw"):
+            w[f"l{li}_{d}_wx"] = rng.standard_normal(
+                (xin, 3 * dim)).astype(np.float32)
+            w[f"l{li}_{d}_wh"] = rng.standard_normal(
+                (dim, 3 * dim)).astype(np.float32)
+            w[f"l{li}_{d}_b"] = rng.standard_normal(
+                3 * dim).astype(np.float32)
+    w["fc_w"] = rng.standard_normal((2 * dim, n_labels)).astype(np.float32)
+    w["fc_b"] = rng.standard_normal(n_labels).astype(np.float32)
+    w["crf_start"] = rng.standard_normal(n_labels).astype(np.float32)
+    w["crf_stop"] = rng.standard_normal(n_labels).astype(np.float32)
+    w["crf_trans"] = rng.standard_normal(
+        (n_labels, n_labels)).astype(np.float32)
+    return w
+
+
+@pytest.fixture(scope="module")
+def android_model_dir(tmp_path_factory):
+    """A model dir in the PUBLISHED layout: the real Android dics at
+    the top level + Paddle per-param weight files sized for the real
+    vocabulary (8,224 × the real 49-label inventory)."""
+    from lacspark.paddle_import import save_paddle_dir
+
+    d = tmp_path_factory.mktemp("android_like") / "lac_model"
+    d.mkdir()
+    for f in ("word.dic", "q2b.dic", "tag.dic"):
+        shutil.copy(os.path.join(ASSETS, f), d / f)
+    save_paddle_dir(_fabricate_weights(8224, 49), str(d))
+    return str(d)
+
+
+def test_lac_facade_runs_on_real_dict_stack(android_model_dir):
+    lac = LAC(model_path=android_model_dir, mode="lac")
+    # engine dict stack came from the model dir, not the package
+    assert len(lac.engine.encoder.word2id) == 8224
+    android_labels = load_kv(os.path.join(ASSETS, "tag.dic"),
+                             key_func=int)
+    assert lac.engine.id2label == android_labels
+    # CRF masks follow the dir's id order: every even id is a -B (or
+    # O) whose odd successor is its -I — transition id→id+1 is legal
+    mask = lac.engine.lac_net._trans_mask
+    for i in range(0, 48, 2):
+        lb = android_labels[i]
+        if lb == "O":
+            continue
+        assert android_labels[i + 1] == lb[:-1] + "I"
+        assert mask[i, i + 1] == 0.0
+
+    texts = ["百度是一家高科技公司", "ＬＡＣ是个优秀的分词工具！", ""]
+    out = lac.run(texts)
+    assert len(out) == 3
+    for text, (words, tags) in zip(texts, out):
+        assert "".join(words) == text          # sha invariant
+        assert len(words) == len(tags)
+        # word-level tags are the merged BASE tags of the B/I labels;
+        # an O-labeled char contributes '' (models.py:168 does the
+        # same tag[:-2] slice on 'O' — faithful, if odd)
+        bases = {lb[:-2] for lb in android_labels.values()}
+        for t in tags:
+            assert t in bases
+    # IOB2 consistency under the ANDROID order: char-level tags out
+    # of the constrained Viterbi never start a word with -I
+    analyses = lac.engine.run_batch(texts, mode="lac")
+    for a in analyses:
+        prev = None
+        for ct in a.char_tags:
+            if ct.endswith("-I"):
+                assert prev is not None and prev[:-2] == ct[:-2]
+            prev = ct
+
+
+def test_conf_subdir_layout_detected(android_model_dir, tmp_path):
+    """The downloaded python models keep dics under conf/
+    (reader.py:90-96) — same facade entry point."""
+    d = tmp_path / "downloaded"
+    conf = d / "conf"
+    conf.mkdir(parents=True)
+    for f in ("word.dic", "q2b.dic", "tag.dic"):
+        shutil.copy(os.path.join(ASSETS, f), conf / f)
+    for p in os.listdir(android_model_dir):
+        if not p.endswith(".dic"):
+            shutil.copy(os.path.join(android_model_dir, p), d / p)
+    lac = LAC(model_path=str(d), mode="lac")
+    assert len(lac.engine.encoder.word2id) == 8224
+    words, tags = lac.run("百度是一家高科技公司")
+    assert "".join(words) == "百度是一家高科技公司"
+
+
+def test_packaged_masks_unchanged_by_derivation():
+    """Guard: deriving masks from tag.dic is identity for the
+    packaged resources (packaged dic order == LAC_LABELS)."""
+    from lacspark.engine import LacEngine
+    from lacspark.tagscheme import start_mask, transition_mask
+
+    eng = LacEngine()
+    assert np.array_equal(eng.lac_net._trans_mask,
+                          transition_mask(LAC_LABELS))
+    assert np.array_equal(eng.lac_net._start_mask,
+                          start_mask(LAC_LABELS))

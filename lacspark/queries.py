@@ -48,8 +48,26 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+_LOAD_MEMO: dict = {}
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    """Read one testdata table, memoized per (session, path).
+
+    ``spark.read.parquet`` re-runs the file-listing + footer-schema
+    job on every call; the returned DataFrame is an immutable lazy
+    plan over a static path, so reusing it across query invocations
+    in the same session is semantics-free and saves one driver job
+    per warm query (a catalog would give this for free via its
+    metadata cache — this is the path-based stand-in)."""
+    key = (spark.sparkContext.applicationId, sf_dir, table)
+    df = _LOAD_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        if len(_LOAD_MEMO) > 64:  # sessions come and go in tests
+            _LOAD_MEMO.clear()
+        _LOAD_MEMO[key] = df
+    return df
 
 
 # helpers — Spark side

@@ -845,7 +845,20 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
     # shortlists — or a query set too big for the LUT fast path
     # (qvecs is None) — fall back to the fully distributed re-rank.
     if qvecs is not None:
-        srows = short.limit(_PQ_SHORTLIST_DRIVER_MAX + 1).collect()
+        # the shortlist shuffle keys on the (by-contract-small) query
+        # id set — right-size its partition count to that cardinality
+        # instead of the session-wide default (same scoped set/restore
+        # pattern as the streaming state-store partitions); the
+        # distributed fallback below keeps the session conf, which is
+        # the 10^12-scale setting
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(max(1, min(int(prev_parts), 8,
+                                      len(qvecs)))))
+        try:
+            srows = short.limit(_PQ_SHORTLIST_DRIVER_MAX + 1).collect()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if len(srows) <= _PQ_SHORTLIST_DRIVER_MAX:
             nvecs = _pq_corpus_vecs(corpus, id_col, vec_col, fp)
             return _pq_rerank_driver(spark, srows, qvecs, corpus,

@@ -67,12 +67,17 @@ def main() -> None:
         with open(args.custom_dict, encoding="utf8") as f:
             custom_lines = tuple(ln.strip() for ln in f if ln.strip())
 
+    from lacspark import telemetry
     from lacspark.spark.pipeline import run_pipeline
 
-    metrics = run_pipeline(
+    # per-run /proc/stat steal + load annotation (same instrumentation
+    # as bench.py) so pipeline wall-times are interpretable next to a
+    # noisy co-tenant — BASELINE.md's 200k narratives cite these
+    metrics, _, tel = telemetry.timed(lambda: run_pipeline(
         spark, files, args.output, run_id=args.run_id, mode=args.mode,
         custom_lines=custom_lines, n_buckets=args.buckets,
-        resume=not args.no_resume, build_graph=not args.no_graph)
+        resume=not args.no_resume, build_graph=not args.no_graph))
+    metrics["telemetry"] = tel
     print(json.dumps(metrics))
 
 

@@ -96,3 +96,31 @@ def test_streaming_dedup_state_is_bounded(spark, tmp_path):
     assert sorted(texts).count("row number 0") == 2  # evicted → re-emitted
     assert sorted(texts).count("row number 4") == 1  # retained → deduped
     assert len(texts) == 6  # 5 from batch 1 + the one re-emission
+
+
+def test_streaming_dedup_no_ttl_terminates(spark, tmp_path):
+    """Regression pin for the timer-zombie bug: with TTL disabled
+    (timeout_minutes=None -> NoTimeout) an availableNow replay must
+    TERMINATE once the data is drained — no pending processing-time
+    timers, no no-data micro-batch loop (with TTL armed the same
+    query spins ~770 empty batches toward the 60-minute mark)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("a", "hello world"), ("a", "HELLO   world"), ("b", "x")],
+        "source string, text string").write.parquet(src + "/b1")
+
+    stream = (spark.readStream
+              .schema("source string, text string")
+              .parquet(src + "/*"))
+    deduped = streaming_dedup(stream, "source", "text",
+                              timeout_minutes=None)
+    q = (deduped.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    terminated = q.awaitTermination(120)
+    assert terminated, "availableNow query with NoTimeout must stop"
+    texts = {" ".join(r.text.lower().split())
+             for r in spark.read.parquet(out).collect()}
+    assert texts == {"hello world", "x"}

@@ -83,6 +83,7 @@ _FRESH = [
     "dedup_near_keep_best",   # r6: shares the re-keyed pair slot
     "dedup_near_components",  # r6: shares the re-keyed pair slot
     "pack_sequences_bpe",     # r6: cache-key toJSON fix shared path
+    "streaming_kg_triple_counts",  # r6: state partitions right-sized
 ]
 
 def _folded() -> frozenset:

@@ -265,10 +265,20 @@ def streaming_kg_triple_counts(spark, sf_dir):
            .groupBy("doc_id")
            .agg(F.count(F.lit(1)).alias("n_triples")))
     sink = f"stream_kg_{uuid.uuid4().hex[:8]}"
-    q = (agg.writeStream.trigger(availableNow=True)
-         .format("memory").queryName(sink)
-         .outputMode("complete").start())
-    q.awaitTermination()
+    # the stateful count keys on ~n_docs/3 ids — 8 state-store
+    # partitions beat the session-wide 32 (per-partition store setup
+    # dominates at this key count; same scoped set/restore pattern as
+    # streaming_curation_counts).  The explicit repartition above is
+    # unaffected — the CPU-bound tag UDF keeps its wide micro-batch.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (agg.writeStream.trigger(availableNow=True)
+             .format("memory").queryName(sink)
+             .outputMode("complete").start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
 
 

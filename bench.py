@@ -95,6 +95,10 @@ def main() -> None:
     # median of the same samples is reported alongside as the
     # pessimistic bound, plus the best over steal-clean samples only
     extra["kg_pipeline_warm_median_sec"] = round(median(warm_secs), 3)
+    # rounds ≤5 took TWO warm passes; min over three is stochastically
+    # lower, so the 2-sample-equivalent rides along for honest
+    # round-over-round comparison (min of the FIRST two samples)
+    extra["kg_pipeline_warm_best2_sec"] = round(min(warm_secs[:2]), 3)
     kg_clean = telemetry.clean(kg_samples)
     extra["kg_pipeline_warm_best_clean_sec"] = (
         round(min(s["sec"] for s in kg_clean), 3) if kg_clean

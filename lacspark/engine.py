@@ -44,7 +44,8 @@ class LacEngine:
 
     def __init__(self, resource_dir_path: str | os.PathLike | None = None,
                  custom_dict_path: str | None = None,
-                 use_automaton: bool = False):
+                 use_automaton: bool = False,
+                 weights_follow: bool = False):
         # Per-file fallback: a user-supplied dir (e.g. the reference's
         # own shipped model layout, which carries word/q2b/tag.dic but
         # none of the seg/weight files — Android/.../lac_model/) only
@@ -52,11 +53,13 @@ class LacEngine:
         # the packaged resources.
         pkg = str(resource_dir())
         user = None if resource_dir_path is None else str(resource_dir_path)
+        from_user: set[str] = set()
 
         def res(fname: str) -> str:
             if user is not None:
                 p = os.path.join(user, fname)
                 if os.path.exists(p):
+                    from_user.add(fname)
                     return p
             return os.path.join(pkg, fname)
 
@@ -80,6 +83,24 @@ class LacEngine:
         self.seg_net = BiGruCrf.load(
             res("seg_weights.npz"),
             transition_mask(seg_labels), start_mask(seg_labels))
+        # A user tag.dic whose id order differs from the packaged
+        # scheme must come with ITS weights: the packaged npz's
+        # fc/crf rows are in LAC_LABELS order, so pairing them with a
+        # reordered inventory mislabels every token SILENTLY (shapes
+        # all match).  ``weights_follow=True`` is the escape hatch for
+        # the caller that replaces the weights right after init (the
+        # LAC facade's model-dir/paddle path — which enforces its own
+        # dir-supplies-weights gate, lac.py).
+        if (not weights_follow
+                and "tag.dic" in from_user
+                and "lac_weights.npz" not in from_user
+                and lac_labels != list(LAC_LABELS)):
+            raise ValueError(
+                "resource dir overrides tag.dic with a different id "
+                "order but supplies no lac_weights.npz — the packaged "
+                "weights' label rows follow the packaged order and "
+                "would silently mislabel; ship matching weights next "
+                "to the dict stack")
         self.custom: Customization | None = None
         if custom_dict_path:
             self.custom = Customization(use_automaton)

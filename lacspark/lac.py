@@ -45,7 +45,8 @@ class LAC:
                        for f in ("word.dic", "tag.dic", "q2b.dic")):
                     dict_dir = cand
                     break
-        self.engine = LacEngine(resource_dir_path=dict_dir)
+        self.engine = LacEngine(resource_dir_path=dict_dir,
+                                weights_follow=dict_dir is not None)
         # model_path ≙ the reference's retrained-model dir: weights
         # saved by LAC.train / LacEngine.train load over the packaged
         # dictionaries (models.py:209 load_model).  A PADDLE-layout
@@ -91,6 +92,35 @@ class LAC:
                                    if k.startswith("l")) + 1
                 net.n_labels = net.w["fc_b"].shape[0]
                 net.refresh_crf()
+                loaded = True
+            # Consistency gate: a dir that supplied its OWN dict stack
+            # must also supply loadable weights.  Otherwise the
+            # packaged weights stay active against the dir's
+            # vocabulary/label order — an 8,224-token encoder indexing
+            # a 191-row embedding crashes, and a same-size tag.dic in
+            # a different id order silently mislabels every token.
+            # (The Android asset dir ships only a Paddle-Lite
+            # ``model.nb`` blob, which this importer does not read.)
+            if dict_dir is not None and not loaded:
+                raise ValueError(
+                    f"model dir {model_path!r} supplies its own "
+                    f"dictionaries (found in {dict_dir!r}) but no "
+                    f"loadable weights — expected lac_weights.npz / "
+                    f"seg_weights.npz or the Paddle per-param layout "
+                    f"(word_emb, fc_*.w_0, gru_*.w_0, crfw); packaged "
+                    f"weights cannot be used with a foreign dict "
+                    f"stack (vocabulary size and tag id order would "
+                    f"not match)")
+            # Vocabulary/embedding agreement, whatever the source mix
+            active = (self.engine.seg_net if mode == "seg"
+                      else self.engine.lac_net)
+            vocab = 1 + max(self.engine.encoder.word2id.values())
+            emb_rows = active.w["emb"].shape[0]
+            if vocab > emb_rows:
+                raise ValueError(
+                    f"dictionary/weights mismatch: word.dic has ids "
+                    f"up to {vocab - 1} but the embedding matrix has "
+                    f"{emb_rows} rows")
 
     # ------------------------------------------------------------------
     def run(self, texts):

@@ -60,11 +60,21 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     in the same session is semantics-free and saves one driver job
     per warm query (a catalog would give this for free via its
     metadata cache — this is the path-based stand-in)."""
-    key = (spark.sparkContext.applicationId, sf_dir, table)
+    path = f"{sf_dir}/{table}.parquet"
+    # file identity rides the key (size + mtime_ns, the
+    # files_fingerprint discipline): a path rewritten in-session must
+    # MISS, or the memoized FileIndex serves deleted part files /
+    # stale rows.  st of a directory changes when its entries do.
+    try:
+        st = os.stat(path)
+        ident = (st.st_size, st.st_mtime_ns)
+    except OSError:
+        ident = None  # let spark.read raise its own error
+    key = (spark.sparkContext.applicationId, path, ident)
     df = _LOAD_MEMO.get(key)
     if df is None:
-        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        if len(_LOAD_MEMO) > 64:  # sessions come and go in tests
+        df = spark.read.parquet(path)
+        if len(_LOAD_MEMO) > 64:  # sessions/rewrites come and go
             _LOAD_MEMO.clear()
         _LOAD_MEMO[key] = df
     return df
@@ -1335,6 +1345,7 @@ def streaming_curation_counts(spark, sf_dir):
            md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
                as fingerprint
     from documents
+    where text is not null and regexp_matches(text, '^[ -~]*$')
     group by 1, 2
 """)
 def streaming_dedup_keeper(spark, sf_dir):
@@ -1353,7 +1364,18 @@ def streaming_dedup_keeper(spark, sf_dir):
     first is order-dependent, so the gated projection carries only
     the order-insensitive (key, fingerprint) pair, never the raw
     text.  Cross-micro-batch state, TTL expiry, and the FIFO size
-    cap are pytest-gated (tests/test_streaming_state.py)."""
+    cap are pytest-gated (tests/test_streaming_state.py).
+
+    Gate scope: printable-ASCII, non-null text only (filter mirrored
+    in the oracle).  The operator's Python normalization
+    (``' '.join(text.lower().split())``) and the oracle's DuckDB
+    ``trim`` + RE2 ``\\s+`` agree EXACTLY on that subset but diverge
+    off it (Python splits on Unicode whitespace and strips
+    \\t/\\n-edges that ASCII-only ``trim`` keeps; ``upper`` round-
+    trips ``ß``→``SS``→``ss``), so the cross-engine comparison is
+    only claimed where it is provable — today's corpus is entirely
+    inside the subset (500/500 docs), and the operator's full-Unicode
+    behavior stays pytest-gated engine-side."""
     import uuid
 
     from .spark.streaming import streaming_dedup
@@ -1362,6 +1384,8 @@ def streaming_dedup_keeper(spark, sf_dir):
     stream = (spark.readStream.schema(schema)
               .option("pathGlobFilter", "documents.parquet")
               .parquet(sf_dir)
+              .filter(F.col("text").isNotNull()
+                      & F.col("text").rlike("^[ -~]*$"))
               .select("lang", F.explode(F.array(
                   F.col("text"),
                   F.concat(F.lit("  "), F.upper("text"), F.lit(" "))

@@ -583,6 +583,7 @@ _PQ_CODES_CACHE: dict = {}
 # batch via the distributed semi-join — the 10^12-row path.
 _PQ_VECS_DRIVER_MAX = 100_000
 _PQ_VECS_CACHE: dict = {}
+_TOO_BIG = object()  # cached negative verdict for over-bound corpora
 
 
 def _pq_corpus_vecs(corpus: DataFrame, id_col: str, vec_col: str, fp):
@@ -597,11 +598,16 @@ def _pq_corpus_vecs(corpus: DataFrame, id_col: str, vec_col: str, fp):
     slot = _PQ_VECS_CACHE.get("slot")
     if slot is not None and fp is not None \
             and slot[0] == key and slot[2] is sess:
-        return slot[1]
+        # the negative verdict is cached too: re-probing a >bound
+        # corpus would re-collect ~100k full vectors per invocation,
+        # costlier than the distributed fallback it gates
+        return None if slot[1] is _TOO_BIG else slot[1]
     rows = (corpus.select(F.col(id_col).alias("__id"),
                           F.col(vec_col).alias("__v"))
             .limit(_PQ_VECS_DRIVER_MAX + 1).collect())
     if len(rows) > _PQ_VECS_DRIVER_MAX:
+        if fp is not None:
+            _PQ_VECS_CACHE["slot"] = (key, _TOO_BIG, sess)
         return None
     d = {r["__id"]: [float(x) for x in r["__v"]] for r in rows}
     if fp is not None:

@@ -186,3 +186,29 @@ def test_packaged_masks_unchanged_by_derivation():
                           transition_mask(LAC_LABELS))
     assert np.array_equal(eng.lac_net._start_mask,
                           start_mask(LAC_LABELS))
+
+
+def test_dict_dir_without_weights_refused():
+    """The raw Android dir carries dics + a Paddle-Lite model.nb (a
+    serialization the importer does not read) — pairing its 8,224-word
+    vocab with the packaged 191-row embedding must be REFUSED up
+    front, not crash mid-run (or silently mislabel when only the tag
+    order differs)."""
+    with pytest.raises(ValueError, match="no.*loadable weights"):
+        LAC(model_path=ASSETS, mode="lac")
+
+
+def test_engine_refuses_reordered_tagdic_without_weights(tmp_path):
+    """Engine-level guard: a resource dir overriding ONLY tag.dic
+    with a different id order (packaged weights' label rows would be
+    misread) raises unless the caller declares weights_follow."""
+    from lacspark.engine import LacEngine
+
+    d = tmp_path / "dics"
+    d.mkdir()
+    shutil.copy(os.path.join(ASSETS, "tag.dic"), d / "tag.dic")
+    with pytest.raises(ValueError, match="different id order"):
+        LacEngine(resource_dir_path=str(d))
+    # the facade's deferred-weights path still constructs
+    eng = LacEngine(resource_dir_path=str(d), weights_follow=True)
+    assert len(eng.id2label) == 49

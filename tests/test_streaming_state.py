@@ -25,6 +25,16 @@ def _await_drained(q, total_rows, timeout=180):
         if (prog and sum(p["numInputRows"] for p in prog) >= total_rows
                 and prog[-1]["numInputRows"] == 0):
             return
+    # fail LOUD: falling through would let the caller stop a
+    # mid-flight query and assert on a partial sink (confusing data
+    # failure, or a false pass).  Note recentProgress is a ~100-entry
+    # ring buffer — with vastly more no-data batches than that before
+    # drain, the sum undercounts and this raises; that scenario is
+    # itself the timer-zombie regression we want surfaced.
+    q.stop()
+    raise TimeoutError(
+        f"stream did not drain {total_rows} rows in {timeout}s "
+        f"(recentProgress: {[p['numInputRows'] for p in q.recentProgress]})")
 
 
 def test_streaming_dedup_across_microbatches(spark, tmp_path):

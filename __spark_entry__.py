@@ -75,15 +75,12 @@ _PRIORITY = [
 # query_hash_snapshot.json: editing a query without pinning it here
 # fails CI.
 _FRESH = [
-    "ann_pq_topk",            # r6: LUT plan rebuilt (driver-side cost cut)
-    "streaming_dedup_keeper",  # r6: NEW — stateful streaming dedup gated
-    "relational_suite",       # r6: NEW — 9 folded relational members
-    "docmeta_suite",          # r6: NEW — 4 folded per-doc members
-    "dedup_minhash_lsh",      # r6: cache-key toJSON fix (ADVICE r5)
-    "dedup_near_keep_best",   # r6: shares the re-keyed pair slot
-    "dedup_near_components",  # r6: shares the re-keyed pair slot
-    "pack_sequences_bpe",     # r6: cache-key toJSON fix shared path
-    "streaming_kg_triple_counts",  # r6: state partitions right-sized
+    "chunk_eval_f1",          # r7: join → single-pass flag aggregate
+    "streaming_tumbling_minute",   # r7: state partitions right-sized
+    "streaming_curation_counts",   # r7: one-shot rep gate + memo schema
+    "streaming_kg_triple_counts",  # r7: memoized schema read
+    "streaming_dedup_keeper",      # r7: memoized schema read
+    "corpus_curation",        # r7: one-shot rep-gate expression
 ]
 
 def _folded() -> frozenset:

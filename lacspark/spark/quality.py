@@ -172,14 +172,53 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
         _rep_keep_col().cast("long").alias("keep"))
 
 
+def _rep_keep_expr(text_col: str = "text") -> str:
+    """The whole repetition gate as ONE self-contained expression.
+
+    The multi-column form (_rep_projected + _rep_keep_col) re-inlines
+    __toks/__grams/__s at every downstream reference once the
+    optimizer collapses the projections into a pushed filter —
+    higher-order functions are CodegenFallback, so no subexpression
+    elimination rescues it and the split/sort/fold run many times per
+    row (measured 2.2 s for the curation gate at sf0.1).  Binding
+    each stage once via single-element transform() lambdas evaluates
+    everything exactly once per row wherever the optimizer moves the
+    predicate (0.54 s, identical decisions)."""
+    L = REPETITION_LIMITS
+    fold = _REP_FOLD.replace("__grams", "y.grams")
+    return f"""
+    coalesce(transform(array(named_struct(
+        'toks', filter(split({text_col}, ' '), t -> length(t) > 0),
+        'lines', filter(split({text_col}, '\\n'), l -> length(l) > 0),
+        'nc', length({text_col}))),
+      x -> transform(array(named_struct(
+             'grams', case when size(x.toks) >= 2 then
+                 array_sort(transform(sequence(1, size(x.toks) - 1),
+                     i -> concat_ws(' ', slice(x.toks, i, 2))))
+                 else array() end,
+             'nt', size(x.toks), 'ndt', size(array_distinct(x.toks)),
+             'nl', size(x.lines), 'ndl', size(array_distinct(x.lines)))),
+        y -> transform(array({fold}),
+          s -> y.nt >= 2
+               and s.topch / x.nc <= {L['top_2gram_frac']}
+               and s.dupch / x.nc <= {L['dup_2gram_frac']}
+               and (y.nt - y.ndt) / y.nt <= {L['dup_token_frac']}
+               and (y.nl - y.ndl) / y.nl <= {L['dup_line_frac']}
+          )[0])[0])[0],
+      false)
+    """
+
+
 def with_repetition_keep(df: DataFrame, text_col: str = "text",
                          out_col: str = "rep_keep") -> DataFrame:
     """Append the boolean Gopher repetition gate as a projection —
     the form corpus_curation composes inline (no join, no second
-    scan of the corpus)."""
-    marked = _rep_projected(df, text_col)
-    return marked.withColumn(out_col, _rep_keep_col()).drop(
-        "__s", "__nc", "__nt", "__ndt", "__nl", "__ndl")
+    scan of the corpus).  Decision-identical to
+    repetition_stats' keep column (pytest-pinned)."""
+    from .tagger import ensure_parallelism
+
+    return ensure_parallelism(df).withColumn(
+        out_col, F.expr(_rep_keep_expr(text_col)))
 
 
 def heuristic_label(df: DataFrame, text_col: str = "text") -> DataFrame:

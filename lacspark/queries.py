@@ -278,9 +278,9 @@ def streaming_kg_triple_counts(spark, sf_dir):
     # ensure_parallelism skips streaming DFs (micro-batch sizing is
     # the trigger's job) — but this replay is ONE file, so widen the
     # micro-batch explicitly or the CPU-bound UDF runs on the file
-    # source's few partitions
-    stream = stream.repartition(
-        2 * spark.sparkContext.defaultParallelism)
+    # source's few partitions (1× cores, same r7 sizing rationale as
+    # ensure_parallelism)
+    stream = stream.repartition(spark.sparkContext.defaultParallelism)
     tagged = tag_and_extract(stream, "text", mode="rank")
     agg = (tagged.select("doc_id", F.explode("triples").alias("t"))
            .groupBy("doc_id")

@@ -481,14 +481,26 @@ def substring_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     pos_fp = explode_once(base, [id_col], "__fps", "fp", with_pos="pos")
     capped = cap_filter("substring_duplicate_spans", pos_fp, ["fp"],
                         max_df, "k-gram fingerprints")
-    a = capped.select(F.col(id_col).alias("d1"),
-                      F.col("pos").alias("p1"), "fp")
-    b = capped.select(F.col(id_col).alias("d2"),
-                      F.col("pos").alias("p2"), "fp")
-    hits = (a.join(b, "fp")
-            .filter(F.col("d1") < F.col("d2"))
-            .select("d1", "p1", "d2", "p2",
-                    (F.col("p1") - F.col("p2")).alias("diag")))
+    # Hit pairs WITHOUT a self-join: the r6 a⋈b equi-join planned the
+    # whole scan→fingerprint→cap pipeline TWICE (one side per branch —
+    # Spark shares no common subplan across a DataFrame self-join).
+    # One groupBy("fp") — which reuses the cap window's hash
+    # distribution, no extra exchange — gathers each fingerprint's
+    # (doc, pos) occurrences (bounded: ≤ max_df rows survive the cap)
+    # and an array expression expands the same d1 < d2 pairs in place.
+    groups = capped.groupBy("fp").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("d"),
+                                F.col("pos").alias("p"))).alias("ms"))
+    pair_expr = F.expr(
+        "flatten(transform(ms, a -> "
+        "transform(filter(ms, b -> b.d > a.d), "
+        "b -> named_struct('d1', a.d, 'p1', a.p, "
+        "'d2', b.d, 'p2', b.p))))")
+    hits = (explode_once(groups.select(pair_expr.alias("__pairs")),
+                         [], "__pairs", "h")
+            .select(F.col("h.d1").alias("d1"), F.col("h.p1").alias("p1"),
+                    F.col("h.d2").alias("d2"), F.col("h.p2").alias("p2"))
+            .withColumn("diag", F.col("p1") - F.col("p2")))
     w = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
     runs = hits.withColumn(
         "grp", F.col("p1") - F.row_number().over(w))

@@ -101,6 +101,19 @@ class LacEngine:
                 "weights' label rows follow the packaged order and "
                 "would silently mislabel; ship matching weights next "
                 "to the dict stack")
+        # mirror of the guard for the SEGMENTATION net (ADVICE r6):
+        # a reordered seg_tag.dic paired with the packaged seg weights
+        # is the same silent-mislabel failure, just on the seg side
+        if (not weights_follow
+                and "seg_tag.dic" in from_user
+                and "seg_weights.npz" not in from_user
+                and seg_labels != list(SEG_LABELS)):
+            raise ValueError(
+                "resource dir overrides seg_tag.dic with a different "
+                "id order but supplies no seg_weights.npz — the "
+                "packaged seg weights' label rows follow the packaged "
+                "order and would silently mislabel; ship matching "
+                "weights next to the dict stack")
         self.custom: Customization | None = None
         if custom_dict_path:
             self.custom = Customization(use_automaton)

@@ -67,15 +67,25 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # stale rows.  st of a directory changes when its entries do.
     try:
         st = os.stat(path)
-        ident = (st.st_size, st.st_mtime_ns)
+        if os.path.isdir(path):
+            # a directory's own stat misses an in-place rewrite of an
+            # existing part file (same name, same entry count) — fold
+            # the entries' identity in too (ADVICE r6)
+            with os.scandir(path) as it:
+                entries = tuple(sorted(
+                    (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                    for e in it))
+            ident = (st.st_size, st.st_mtime_ns, entries)
+        else:
+            ident = (st.st_size, st.st_mtime_ns)
     except OSError:
         ident = None  # let spark.read raise its own error
     key = (spark.sparkContext.applicationId, path, ident)
     df = _LOAD_MEMO.get(key)
     if df is None:
         df = spark.read.parquet(path)
-        if len(_LOAD_MEMO) > 64:  # sessions/rewrites come and go
-            _LOAD_MEMO.clear()
+        while len(_LOAD_MEMO) > 64:  # evict oldest, not everything
+            _LOAD_MEMO.pop(next(iter(_LOAD_MEMO)))
         _LOAD_MEMO[key] = df
     return df
 
@@ -1394,8 +1404,13 @@ def streaming_dedup_keeper(spark, sf_dir):
     stream = (spark.readStream.schema(schema)
               .option("pathGlobFilter", "documents.parquet")
               .parquet(sf_dir)
+              # \A..\z, not ^..$: Java's $ also matches before a
+              # FINAL line terminator, so 'abc\n' would pass here yet
+              # fail the oracle's RE2 end-of-text anchor (ADVICE r6);
+              # unambiguous anchors make the two filters identical on
+              # every input, not just newline-free ones
               .filter(F.col("text").isNotNull()
-                      & F.col("text").rlike("^[ -~]*$"))
+                      & F.col("text").rlike(r"\A[ -~]*\z"))
               .select("lang", F.explode(F.array(
                   F.col("text"),
                   F.concat(F.lit("  "), F.upper("text"), F.lit(" "))

@@ -331,7 +331,14 @@ def synth_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
                 rows.append((i, kinds[i % 3], payload, "fake/v1"))
             yield pd.DataFrame(rows, columns=MEDIA_SCHEMA.fieldNames())
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    # ~8 payloads per partition: the codec work is ~1 ms/row, so at
+    # the default 32 slices a 120-row table pays 32 python-task
+    # setups (~15 ms each) to do ~5 ms of work per task; sizing the
+    # range to the row count keeps task overhead proportional to the
+    # data while larger n still widens to every core
+    slices = max(1, min(spark.sparkContext.defaultParallelism, n // 8))
+    return spark.range(0, n, 1, slices).mapInPandas(gen,
+                                                    schema=MEDIA_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -390,7 +397,14 @@ def synth_real_media(spark, n: int = 120) -> DataFrame:
                 rows.append((i, kind, payload, fmt))
             yield pd.DataFrame(rows, columns=MEDIA_SCHEMA.fieldNames())
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    # ~8 payloads per partition: the codec work is ~1 ms/row, so at
+    # the default 32 slices a 120-row table pays 32 python-task
+    # setups (~15 ms each) to do ~5 ms of work per task; sizing the
+    # range to the row count keeps task overhead proportional to the
+    # data while larger n still widens to every core
+    slices = max(1, min(spark.sparkContext.defaultParallelism, n // 8))
+    return spark.range(0, n, 1, slices).mapInPandas(gen,
+                                                    schema=MEDIA_SCHEMA)
 
 
 def media_decode_row(kind: str, payload: bytes,

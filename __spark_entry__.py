@@ -76,10 +76,12 @@ _PRIORITY = [
 # fails CI.
 _FRESH = [
     "chunk_eval_f1",          # r7: join → single-pass flag aggregate
+    "salience_topk_tokens",   # r7: window → in-array top-3 projection
+    "word_boundary_merge",    # r7: window+groupBy → per-doc fold
     "streaming_tumbling_minute",   # r7: state partitions right-sized
     "streaming_curation_counts",   # r7: one-shot rep gate + memo schema
-    "streaming_kg_triple_counts",  # r7: memoized schema read
-    "streaming_dedup_keeper",      # r7: memoized schema read
+    "streaming_kg_triple_counts",  # r7: 1x-cores micro-batch widening
+    "streaming_dedup_keeper",      # r7: \\A..\\z anchors + memo schema
     "corpus_curation",        # r7: one-shot rep-gate expression
 ]
 

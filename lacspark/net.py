@@ -236,18 +236,23 @@ class BiGruCrf:
         sp_prevs, sp_trans = self._sparse_prevs, self._sparse_trans
         dn_trans_t = self._dense_trans_t  # [D, L]
         best = np.empty_like(delta)
-        scores = np.empty((b, dn_cols.size, n), dtype=delta.dtype)
+        d = dn_cols.size
+        scores = np.empty((b, d, n), dtype=delta.dtype)
+        flat = scores.reshape(b * d, n)
+        rowidx = np.arange(b * d)
         # k = 2 unrolled: argmax/take_along_axis replaced by a single
         # compare (tie → index 0, exactly argmax's rule) — same
         # results, no per-step fancy-gather overhead
         sp0, sp1 = sp_prevs[:, 0], sp_prevs[:, 1]
         spt0, spt1 = sp_trans[:, 0], sp_trans[:, 1]
         for i in range(1, t):
-            # dense columns: full max over predecessors
+            # dense columns: full max over predecessors; the max
+            # value is gathered from the argmax result (B·D reads)
+            # instead of a second full pass over B·D·L scores
             np.add(delta[:, None, :], dn_trans_t[None, :, :], out=scores)
             am = np.argmax(scores, axis=2)
             back[:, i, dn_cols] = am
-            best[:, dn_cols] = np.max(scores, axis=2)
+            best[:, dn_cols] = flat[rowidx, am.ravel()].reshape(b, d)
             # sparse (X-I) columns: only 2 legal predecessors
             s0 = delta[:, sp0] + spt0[None, :]
             s1 = delta[:, sp1] + spt1[None, :]

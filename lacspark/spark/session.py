@@ -48,6 +48,13 @@ def get_spark(app_name: str = "lacspark", cores: int | None = None,
         # c++/src/lac.cpp:46)
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        # fork workers from a daemon that has pandas/pyarrow/numpy and
+        # the engine stack ALREADY imported (copy-on-write): a cold
+        # 32-way python stage otherwise runs 32 simultaneous ~0.5 s
+        # import chains — the dominant term of every cold UDF stage
+        # (lacspark.spark.py_daemon; public knob, worker loop
+        # unchanged)
+        .config("spark.python.daemon.module", "lacspark.spark.py_daemon")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
